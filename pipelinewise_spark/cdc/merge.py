@@ -1,0 +1,211 @@
+"""The MERGE-apply: change batch → copy-on-write upsert into a LakeTable.
+
+Reference semantics being reproduced (SURVEY §2.3):
+
+- J1  in-batch last-per-PK dedup — here LSN-ordered (:mod:`.dedup`);
+- J2/J3  PK upsert (temp-table UPDATE+INSERT, ``target_postgres/db_sync.py:
+  359-431``; Snowflake MERGE ``target_snowflake/db_sync.py:442-546``);
+- J5  hard delete — folded into the merge as "matched AND deleted → drop"
+  (reference runs a post-load ``DELETE WHERE _sdc_deleted_at IS NOT NULL``,
+  ``db_sync.py:493-497``). A hard-mode DELETE for a never-inserted PK nets
+  to a no-op (reference: tombstone inserted by J2 then removed by J5);
+  soft mode keeps the tombstone row with ``_sdc_deleted_at`` set
+  (``binlog.py:519-543``).
+- cross-batch monotonic guard: a source row applies only if its LSN is >=
+  the row's stored ``_lsn`` — replaying an older batch after a partial
+  failure converges to the same final state (reference gets this from
+  strictly ordered single-threaded replay; we must enforce it).
+
+Physical plan (why this scales):
+
+1. the deduped batch is bucketed by the table's bucket function and ONLY
+   the affected buckets of the target are read (manifest-level partition
+   pruning — a 100k-row batch against a 100 TB table reads a few hundred
+   buckets, not the table);
+2. one full-outer sort-merge join on the PK — the same shape Iceberg's
+   copy-on-write MERGE lowers to — with AQE skew-join splitting any hot
+   key;
+3. merge action counts + the batch's max LSN are collected via
+   ``DataFrame.observe`` on the SAME pass that writes the files (no second
+   scan);
+4. the rewritten buckets + bookmark + batch-id publish in one atomic
+   manifest commit (exactly-once; see lake/table.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.cdc.dedup import latest_per_key
+from pipelinewise_spark.lake.table import (
+    LSN_COL,
+    SDC_BATCHED_AT,
+    SDC_DELETED_AT,
+    SDC_EXTRACTED_AT,
+    LakeTable,
+)
+
+DROP_ACTIONS = ("delete", "noop_delete")
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    *,
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    soft_delete: bool = False,
+    batch_id: Any = None,
+    pipeline_id: str = "default",
+    stream: str = "default",
+    filter_applied_lsn: bool = True,
+) -> dict:
+    """Apply one change batch. Returns the metrics dict that was also
+    persisted into the manifest summary. Idempotent per (pipeline_id,
+    batch_id): an already-applied batch returns ``{"skipped": True}``.
+
+    ``filter_applied_lsn`` drops events at or below the stream's committed
+    bookmark before merging — the replay contract of the reference: a tap
+    restarting from the last *flushed* bookmark re-emits an overlapping
+    window (``binlog.py:405-427``, ``logical_replication.py:575-576``) and
+    the already-applied prefix must be a no-op. This is essential with
+    hard deletes (a replayed pre-delete upsert must not resurrect a
+    deleted row) and is a cheap pushed-down predicate on the source."""
+    if batch_id is not None and batch_id in table.applied_batch_ids(pipeline_id):
+        return {"skipped": True, "batch_id": batch_id}
+
+    key_cols = table.key_cols
+    data_cols = table.data_cols
+
+    prev_bookmark = table.bookmarks.get(stream, {}).get("lsn")
+    if filter_applied_lsn and prev_bookmark is not None:
+        source = source.where(F.col(lsn_col) > F.lit(int(prev_bookmark)))
+
+    src = latest_per_key(source, key_cols, lsn_col=lsn_col)
+    # Normalize to the table's logical payload schema: columns the batch
+    # doesn't carry (pre-evolution events) backfill as NULL — same rule as
+    # the reference's ADD COLUMN backfill (db_sync.py:539-549).
+    proj = []
+    for c in data_cols:
+        if c in src.columns:
+            proj.append(F.col(c))
+        else:
+            proj.append(F.lit(None).cast(table.logical_schema[c].dataType).alias(c))
+    extracted = (
+        F.col("time_extracted")
+        if "time_extracted" in src.columns
+        else F.lit(None).cast("timestamp")
+    )
+    src = src.select(
+        *proj,
+        F.col(op_col).alias("__op"),
+        F.col(lsn_col).cast("long").alias(LSN_COL),
+        extracted.alias(SDC_EXTRACTED_AT),
+        F.current_timestamp().alias(SDC_BATCHED_AT),
+        F.when(
+            F.col(op_col) == "D",
+            F.coalesce(extracted, F.current_timestamp()),
+        )
+        .otherwise(F.lit(None))
+        .cast("timestamp")
+        .alias(SDC_DELETED_AT),
+    ).withColumn("__s_exists", F.lit(True))
+    src = src.persist()
+    try:
+        affected = sorted(
+            r[0]
+            for r in src.select(table.bucket_expr().alias("b")).distinct().collect()
+        )
+        if not affected:
+            if batch_id is not None:
+                table.commit(
+                    batch_id=batch_id,
+                    pipeline_id=pipeline_id,
+                    summary={"operation": "merge", "empty_batch": True},
+                )
+            return {"rows": 0, "batch_id": batch_id}
+
+        tgt = table.read(buckets=affected).withColumn("__t_exists", F.lit(True))
+
+        s, t = src.alias("s"), tgt.alias("t")
+        cond = None
+        for k in key_cols:
+            c = F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = s.join(t, cond, "full_outer")
+
+        s_exists = F.coalesce(F.col("s.__s_exists"), F.lit(False))
+        t_exists = F.coalesce(F.col("t.__t_exists"), F.lit(False))
+        is_stale = t_exists & s_exists & (
+            F.col(f"s.{LSN_COL}") < F.col(f"t.{LSN_COL}")
+        )
+        is_delete = F.col("s.__op") == "D"
+        action = (
+            F.when(~s_exists, F.lit("carry"))
+            .when(is_stale, F.lit("stale"))
+            .when(
+                is_delete & F.lit(not soft_delete),
+                F.when(t_exists, F.lit("delete")).otherwise(F.lit("noop_delete")),
+            )
+            .when(is_delete, F.lit("tombstone"))
+            .when(~t_exists, F.lit("insert"))
+            .otherwise(F.lit("update"))
+        )
+        take_target = action.isin("carry", "stale")
+        out_cols = []
+        for f in table.manifest["fields"]:
+            c = f["logical"]
+            out_cols.append(
+                F.when(take_target, F.col(f"t.{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+            )
+        projected = joined.select(
+            *out_cols,
+            action.alias("__action"),
+            F.when(s_exists, F.col(f"s.{LSN_COL}")).alias("__s_lsn"),
+        )
+
+        obs = Observation("merge")
+        observed = projected.observe(
+            obs,
+            F.sum(F.when(F.col("__action") == "insert", 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when(F.col("__action") == "update", 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(F.col("__action") == "delete", 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("__action") == "tombstone", 1).otherwise(0)).alias("tombstoned"),
+            F.sum(F.when(F.col("__action") == "stale", 1).otherwise(0)).alias("stale"),
+            F.sum(F.when(F.col("__action") == "carry", 1).otherwise(0)).alias("carried"),
+            F.max("__s_lsn").alias("max_lsn"),
+            F.count(F.lit(1)).alias("joined_rows"),
+        )
+        result = (
+            observed.where(~F.col("__action").isin(*DROP_ACTIONS))
+            .drop("__action", "__s_lsn")
+            .withColumn("_bucket", table.bucket_expr())
+        )
+        added = table.write_bucket_files(result)
+        metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
+                   if k != "max_lsn"}
+        max_lsn = obs.get.get("max_lsn")
+        prev = table.bookmarks.get(stream, {}).get("lsn")
+        new_lsn = max(
+            int(max_lsn) if max_lsn is not None else -1,
+            int(prev) if prev is not None else -1,
+        )
+        bookmarks = {stream: {"lsn": new_lsn}} if new_lsn >= 0 else None
+        table.commit(
+            added=added,
+            replaced_buckets=affected,
+            bookmarks=bookmarks,
+            batch_id=batch_id,
+            pipeline_id=pipeline_id,
+            summary={"operation": "merge", "metrics": metrics,
+                     "affected_buckets": affected},
+        )
+        metrics.update(batch_id=batch_id, max_lsn=max_lsn, affected_buckets=len(affected))
+        return metrics
+    finally:
+        src.unpersist()
