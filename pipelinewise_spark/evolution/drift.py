@@ -1,0 +1,89 @@
+"""Schema-drift state machine (reference: ``docs/user_guide/
+schema_changes.rst``; ``target_postgres/db_sync.py:532-576``).
+
+Rules, exactly as the reference applies them to the destination table:
+
+- **new column** in the incoming schema → ADD COLUMN, historical rows
+  read as NULL (``db_sync.py:539-549``);
+- **type change** (including widenings — the reference compares mapped SQL
+  types, so int32→int64 is a change) → "version" the column: the existing
+  column is renamed ``{name}_{YYYYMMDD_HHMM}`` and a fresh column with the
+  new type takes the original name; historical values are NOT converted
+  (``db_sync.py:551-576``, ``schema_changes.rst:20-66``);
+- **column disappears** from the source → kept forever, never dropped
+  (``schema_changes.rst:14-18``).
+
+On the LakeTable all three are metadata-only manifest commits (see
+lake/table.py) — no data rewrite at any scale.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql.types import StructType
+
+from pipelinewise_spark.lake.table import METADATA_COLS, LakeTable
+
+
+def _tjson(dt) -> object:
+    return json.loads(dt.json())
+
+
+def diff_schemas(
+    table: LakeTable,
+    incoming: StructType,
+    *,
+    now: datetime | None = None,
+) -> list[dict]:
+    """Compute evolution actions to reconcile the table with an incoming
+    stream schema (from a Singer SCHEMA message or a decoded batch)."""
+    now = now or datetime.now(timezone.utc)
+    suffix = now.strftime("%Y%m%d_%H%M")
+    current = {
+        f["logical"]: f["type"]
+        for f in table.manifest["fields"]
+        if f["logical"] not in METADATA_COLS
+    }
+    actions: list[dict] = []
+    for field in incoming.fields:
+        name, tj = field.name, _tjson(field.dataType)
+        if name not in current:
+            actions.append({"action": "add_column", "name": name, "type": tj})
+        elif current[name] != tj:
+            actions.append(
+                {
+                    "action": "version_column",
+                    "name": name,
+                    "type": tj,
+                    "versioned_name": f"{name}_{suffix}",
+                }
+            )
+    return actions
+
+
+def reconcile(
+    table: LakeTable,
+    incoming: StructType,
+    *,
+    now: datetime | None = None,
+    allow_key_type_change: bool = False,
+) -> list[dict]:
+    """Diff + apply. Versioning a primary-key column would break the merge
+    identity, so it is rejected unless explicitly allowed (the reference
+    has the same hazard — it just corrupts silently)."""
+    actions = diff_schemas(table, incoming, now=now)
+    for a in actions:
+        if (
+            a["action"] == "version_column"
+            and a["name"] in table.key_cols
+            and not allow_key_type_change
+        ):
+            raise ValueError(
+                f"type change on key column {a['name']!r} requires "
+                "allow_key_type_change=True"
+            )
+    if actions:
+        table.evolve(actions)
+    return actions

@@ -1,0 +1,180 @@
+"""Singer-spec message framing (SCHEMA / RECORD / STATE / ACTIVATE_VERSION)
+as DataFrame codecs.
+
+The reference's taps and targets speak newline-delimited JSON over pipes
+(SURVEY §1.1). Here the framed stream is a DataFrame of lines; decode is
+pure column expressions (``get_json_object`` + ``from_json`` — no per-row
+Python), encode is ``to_json``. SCHEMA/STATE messages are rare control
+lines and are collected driver-side.
+
+Engine extension (documented): RECORD messages carry the event's log
+position as ``record._sdc_lsn`` so that per-event ordering survives
+distribution. The reference relies on physical line order instead (single
+pipe, single thread) — meaningless under parallel reads. STATE messages
+keep the standard shape ``{bookmarks: {stream: {lsn}}}``
+(``logical_replication.py:677-684``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pipelinewise_spark.singer.schema import jsonschema_to_struct
+
+LSN_FIELD = "_sdc_lsn"
+DELETED_FIELD = "_sdc_deleted_at"
+
+
+# ------------------------------------------------------------------ decode
+
+def message_type(line_col=None):
+    return F.get_json_object(
+        F.col("value") if line_col is None else line_col, "$.type"
+    )
+
+
+def collect_control_messages(lines: DataFrame) -> dict:
+    """Driver-side collect of SCHEMA / STATE / ACTIVATE_VERSION lines
+    (control-plane, tiny). RECORD lines stay distributed."""
+    rows = (
+        lines.where(message_type().isin("SCHEMA", "STATE", "ACTIVATE_VERSION"))
+        .collect()
+    )
+    out = {"SCHEMA": [], "STATE": [], "ACTIVATE_VERSION": []}
+    for r in rows:
+        msg = json.loads(r["value"])
+        out[msg["type"]].append(msg)
+    return out
+
+
+def decode_records(
+    lines: DataFrame,
+    payload_schema: StructType | dict,
+    *,
+    stream: str | None = None,
+) -> DataFrame:
+    """RECORD lines → change-event DataFrame (lsn, op, stream, payload...,
+    time_extracted). Deletes are RECORDs whose ``_sdc_deleted_at`` is set
+    (reference: ``binlog.py:519-543``); inserts and updates are both
+    upserts (``op = 'U'``) — the merge only distinguishes D."""
+    if isinstance(payload_schema, dict):
+        payload_schema = jsonschema_to_struct(payload_schema)
+    rec = lines.where(message_type() == "RECORD")
+    if stream is not None:
+        rec = rec.where(F.get_json_object("value", "$.stream") == stream)
+    # build a fresh field list — StructType.add mutates, and the
+    # constructor aliases the caller's list
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    envelope = StructType(
+        list(payload_schema.fields)
+        + [StructField(LSN_FIELD, LongType()), StructField(DELETED_FIELD, StringType())]
+    )
+    parsed = rec.select(
+        F.get_json_object("value", "$.stream").alias("stream"),
+        F.from_json(F.get_json_object("value", "$.record"), envelope).alias("r"),
+        F.to_timestamp(F.get_json_object("value", "$.time_extracted")).alias(
+            "time_extracted"
+        ),
+    )
+    return parsed.select(
+        F.col(f"r.{LSN_FIELD}").alias("lsn"),
+        F.when(F.col(f"r.{DELETED_FIELD}").isNotNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "stream",
+        *[F.col(f"r.{f.name}").alias(f.name) for f in payload_schema.fields],
+        "time_extracted",
+    )
+
+
+# ------------------------------------------------------------------ encode
+
+def encode_records(
+    events: DataFrame,
+    payload_cols: list[str],
+    *,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    stream_col: str = "stream",
+    ts_pattern: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+) -> DataFrame:
+    """Change events → singer RECORD lines (column ``value``). Timestamps
+    serialize ISO-8601 with explicit offset — the reference's
+    canonicalization (``binlog.py:208-219``)."""
+    record = F.struct(
+        F.col(lsn_col).cast("long").alias(LSN_FIELD),
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.when(
+            F.col(op_col) == "D",
+            F.date_format(F.col("time_extracted"), ts_pattern),
+        ).alias(DELETED_FIELD),
+    )
+    line = F.to_json(
+        F.struct(
+            F.lit("RECORD").alias("type"),
+            F.col(stream_col).alias("stream"),
+            record.alias("record"),
+            F.date_format(F.col("time_extracted"), ts_pattern).alias(
+                "time_extracted"
+            ),
+        )
+    )
+    return events.select(line.alias("value"), F.col(lsn_col).alias("_order"))
+
+
+def schema_message(stream: str, json_schema: dict, key_properties: list[str]) -> str:
+    return json.dumps(
+        {
+            "type": "SCHEMA",
+            "stream": stream,
+            "schema": json_schema,
+            "key_properties": key_properties,
+        }
+    )
+
+
+def state_message(bookmarks: dict) -> str:
+    return json.dumps({"type": "STATE", "value": {"bookmarks": bookmarks}})
+
+
+def write_singer_file(
+    events: DataFrame,
+    payload_cols: list[str],
+    stream: str,
+    json_schema: dict,
+    key_properties: list[str],
+    path: str,
+    *,
+    state_every: int = 1000,
+) -> None:
+    """Serialize a bounded event set to one singer-framed text file:
+    SCHEMA, then RECORDs in LSN order with STATE lines every
+    ``state_every`` records (reference cadence: ``binlog.py:36``).
+    Driver-side writer for fixtures/tests — the scale path ships parquet
+    or Kafka, not text frames. RECORDs are forced onto ``stream`` so the
+    frames stay self-consistent with the SCHEMA line."""
+    events = events.withColumn("stream", F.lit(stream))
+    lines: Iterator = (
+        encode_records(events, payload_cols)
+        .orderBy("_order")
+        .select("value", "_order")
+        .toLocalIterator()
+    )
+    with open(path, "w") as fh:
+        fh.write(schema_message(stream, json_schema, key_properties) + "\n")
+        n = 0
+        last_lsn = None
+        for row in lines:
+            fh.write(row["value"] + "\n")
+            n += 1
+            last_lsn = row["_order"]
+            if n % state_every == 0:
+                fh.write(state_message({stream: {"lsn": last_lsn}}) + "\n")
+        if last_lsn is not None:
+            fh.write(state_message({stream: {"lsn": last_lsn}}) + "\n")
