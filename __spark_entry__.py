@@ -1,38 +1,78 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship path: the events table read as a
+binlog-shaped change stream and applied through the full CDC engine
+(LSN dedup → bucket-pruned CoW MERGE → atomic bookmark commit) into a
+LakeTable, returning the final upserted state.
+
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators; oracle SQL is
+DuckDB-compatible ANSI over the same parquet views.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC-apply the sf0.001 events change stream end-to-end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline
+    from pipelinewise_spark.lake.table import LakeTable
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF", "/root/testdata/sf0.001")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = events.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.lit("public-events").alias("stream"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "ts",
+        F.col("ts").alias("time_extracted"),
+    )
+    payload = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="pw-entry-")
+    table = LakeTable.create(
+        spark, os.path.join(path, "t"), payload, ["user_id"], num_buckets=8
+    )
+    CdcPipeline(table, stream="public-events").replay(changes, n_batches=3)
+    return table.read()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pipelinewise_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pipelinewise_spark.queries import ORACLES
+
+    return dict(ORACLES)

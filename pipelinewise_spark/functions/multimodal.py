@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container — marked clearly below); everything Spark-side is real and
+tested: schema contract, batch iteration shape, partition sizing, and the
+deterministic fake feature extractor used to validate the plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+#: Canonical multimodal asset schema: payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),        # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def real_decode(payload: bytes, mime: str):  # pragma: no cover - stub
+    """STUB: the actual image/audio decode (PIL/librosa/ffmpeg) is not
+    available in this container. At deployment this returns the decoded
+    ndarray; the Spark plumbing around it is identical."""
+    raise NotImplementedError(
+        "media decode requires PIL/librosa/ffmpeg — not present in sandbox"
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature vector: normalized bytes of the
+    sha256 digest. Lets every Spark-side contract be tested for real."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def extract_features(assets: DataFrame, *, dim: int = 8, use_real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas`` — the decode
+    runs once per Arrow batch (thousands of rows), not per row. Output is
+    FEATURE_SCHEMA; partitioning is preserved (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if use_real_decode:  # pragma: no cover - stub path
+                feats = [real_decode(p, m) for p, m in zip(payloads, pdf["mime"])]
+            else:
+                feats = [_fake_features(p, dim) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0).astype("int64"),
+                    "content_hash": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def generate_fake_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic binary assets for testing the plumbing."""
+    df = spark.range(0, n, 1, partitions)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    return df.select(
+        F.col("id").alias("asset_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.encode(
+            F.concat(F.lit("blob-"), F.col("id").cast("string"),
+                     F.repeat(F.lit("x"), (F.pmod(F.col("id"), F.lit(7)) * 13).cast("int"))),
+            "utf-8",
+        ).cast("binary").alias("payload"),
+        (F.pmod(F.col("id"), F.lit(640)) + 1).cast("int").alias("width"),
+        (F.pmod(F.col("id"), F.lit(480)) + 1).cast("int").alias("height"),
+        (F.pmod(F.col("id"), F.lit(9000)) + 1).cast("int").alias("duration_ms"),
+    )

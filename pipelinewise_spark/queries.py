@@ -1,0 +1,642 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators) as a
+(spark, sf_dir) → DataFrame callable with a matching DuckDB oracle SQL.
+
+Column names and value canonicalization are kept EXACTLY aligned between
+the Spark plan and the oracle so the driver's order-insensitive value-hash
+matches: timestamps are emitted as strings, floating aggregates are
+rounded, hash functions are md5/sha256 (identical hex in both engines).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.cdc.dedup import latest_per_key
+from pipelinewise_spark.functions import ann, dedup_text
+from pipelinewise_spark.functions import text as T
+from pipelinewise_spark.transform.compiler import compile_transformations
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The generic change-stream reading of the driver's `events` table:
+# event_id is the LSN (log total order), user_id the PK, and the event
+# type maps deterministically onto CDC ops (signup→I, error→D, else→U).
+OP_SQL = "CASE WHEN event_type = 'signup' THEN 'I' WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+
+
+def _op_col():
+    return (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+
+
+# ======================================================================
+# J1 / dedup — LSN-ordered last-per-PK (SURVEY §2.3 J1)
+# ======================================================================
+
+@q(
+    "j1_dedup_last_per_key",
+    """
+    SELECT user_id, lsn AS last_lsn, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_id AS lsn, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def j1_dedup(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("lsn"), "event_type", "value"
+    )
+    return latest_per_key(ev, ["user_id"], "lsn").select(
+        "user_id",
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
+    "cdc_fold_hard_delete",
+    """
+    SELECT user_id, lsn AS last_lsn, value AS last_value
+    FROM (
+      SELECT user_id, event_id AS lsn, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_fold_hard(spark, sf):
+    return QUERIES["j1_dedup_last_per_key"](spark, sf).where(
+        F.col("last_event_type") != "error"
+    ).select("user_id", "last_lsn", F.col("last_value"))
+
+
+@q(
+    "cdc_fold_soft_delete",
+    """
+    SELECT user_id, lsn AS last_lsn,
+           (event_type = 'error') AS is_deleted
+    FROM (
+      SELECT user_id, event_id AS lsn, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def cdc_fold_soft(spark, sf):
+    return QUERIES["j1_dedup_last_per_key"](spark, sf).select(
+        "user_id",
+        "last_lsn",
+        (F.col("last_event_type") == "error").alias("is_deleted"),
+    )
+
+
+# ======================================================================
+# Bookmarks / state math (SURVEY §2.4 A1/A2, §2.1 S8/S11)
+# ======================================================================
+
+@q(
+    "a1_bookmark_max_lsn",
+    """
+    SELECT event_type AS stream, max(event_id) AS max_lsn,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a1_bookmark(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(F.max("event_id").alias("max_lsn"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@q(
+    "a2_min_restart_lsn",
+    """
+    SELECT min(max_lsn) AS restart_lsn FROM (
+      SELECT max(event_id) AS max_lsn FROM events GROUP BY event_type)
+    """,
+)
+def a2_restart(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("max_lsn"))
+        .agg(F.min("max_lsn").alias("restart_lsn"))
+    )
+
+
+@q(
+    "s11_incremental_scan",
+    """
+    SELECT event_id AS lsn, user_id, event_type FROM events
+    WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+    """,
+)
+def s11_incremental(spark, sf):
+    ev = _t(spark, sf, "events")
+    bookmark = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    return ev.where(F.col("event_id") > bookmark).select(
+        F.col("event_id").alias("lsn"), "user_id", "event_type"
+    )
+
+
+@q(
+    "s8_lsn_arithmetic",
+    """
+    SELECT event_id,
+           (event_id % 16) * 4294967296 + (event_id * 7) % 100000 AS lsn,
+           ((event_id % 16) * 4294967296 + (event_id * 7) % 100000) // 4294967296 AS log_file,
+           ((event_id % 16) * 4294967296 + (event_id * 7) % 100000) % 4294967296 AS log_pos
+    FROM events
+    """,
+)
+def s8_lsn(spark, sf):
+    ev = _t(spark, sf, "events")
+    lsn = F.shiftleft(F.pmod(F.col("event_id"), F.lit(16)), 32) + F.pmod(
+        F.col("event_id") * 7, F.lit(100000)
+    )
+    return ev.select(
+        "event_id",
+        lsn.alias("lsn"),
+        F.shiftright(lsn, 32).alias("log_file"),
+        lsn.bitwiseAND(F.lit(4294967295)).alias("log_pos"),
+    )
+
+
+@q(
+    "a3_batch_metrics",
+    f"""
+    SELECT event_id // 1000 AS batch_id,
+           sum(CASE WHEN {OP_SQL} = 'I' THEN 1 ELSE 0 END) AS n_inserts,
+           sum(CASE WHEN {OP_SQL} = 'U' THEN 1 ELSE 0 END) AS n_updates,
+           sum(CASE WHEN {OP_SQL} = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a3_metrics(spark, sf):
+    op = _op_col()
+    return (
+        _t(spark, sf, "events")
+        .groupBy((F.col("event_id") / 1000).cast("long").alias("batch_id"))
+        .agg(
+            F.sum(F.when(op == "I", 1).otherwise(0)).alias("n_inserts"),
+            F.sum(F.when(op == "U", 1).otherwise(0)).alias("n_updates"),
+            F.sum(F.when(op == "D", 1).otherwise(0)).alias("n_deletes"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ======================================================================
+# Canonicalization / transforms (SURVEY §2.2 T2-T7, T10, T11)
+# ======================================================================
+
+@q(
+    "t2_canonicalize_ts",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts_iso
+    FROM events
+    """,
+)
+def t2_canonical(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("+00:00")
+        ).alias("ts_iso"),
+    )
+
+
+@q(
+    "t4_t6_masks_customer",
+    """
+    SELECT c_custkey,
+           sha256(c_name) AS c_name,
+           substring(c_mktsegment, 1, 2)
+             || repeat('*', length(c_mktsegment) - 4)
+             || substring(c_mktsegment, length(c_mktsegment) - 1, 2) AS c_mktsegment,
+           CAST(0 AS DOUBLE) AS c_acctbal
+    FROM customer
+    """,
+)
+def t4_t6_masks(spark, sf):
+    cust = _t(spark, sf, "customer")
+    fn = compile_transformations(
+        [
+            {"field_id": "c_name", "type": "HASH"},
+            {"field_id": "c_mktsegment", "type": "MASK-STRING-SKIP-ENDS-2"},
+            {"field_id": "c_acctbal", "type": "MASK-NUMBER"},
+        ]
+    )
+    return fn(cust).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@q(
+    "t4_hash_skip_first",
+    """
+    SELECT c_custkey,
+           substring(c_name, 1, 9) || sha256(substring(c_name, 10)) AS c_name
+    FROM customer
+    """,
+)
+def t4_skip_first(spark, sf):
+    cust = _t(spark, sf, "customer")
+    fn = compile_transformations([{"field_id": "c_name", "type": "HASH-SKIP-FIRST-9"}])
+    return fn(cust).select("c_custkey", "c_name")
+
+
+@q(
+    "t5_mask_date",
+    """
+    SELECT o_orderkey,
+           make_timestamp(year(o_orderdate), 1, 1, hour(o_orderdate),
+                          minute(o_orderdate), 0)::VARCHAR AS o_orderdate
+    FROM orders
+    """,
+)
+def t5_mask_date(spark, sf):
+    orders = _t(spark, sf, "orders")
+    fn = compile_transformations([{"field_id": "o_orderdate", "type": "MASK-DATE"}])
+    return fn(orders).select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate")
+    )
+
+
+@q(
+    "t7_conditional_mask",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase'
+                 AND regexp_matches(json_extract_string(props, '$.k'), '^[0-7]')
+                THEN 0.0 ELSE value END AS value
+    FROM events
+    """,
+)
+def t7_conditional(spark, sf):
+    ev = _t(spark, sf, "events")
+    fn = compile_transformations(
+        [
+            {
+                "field_id": "value",
+                "type": "MASK-NUMBER",
+                "when": [
+                    {"column": "event_type", "equals": "purchase"},
+                    {"column": "props", "field_path": "k", "regex_match": "^[0-7]"},
+                ],
+            }
+        ]
+    )
+    return fn(ev).select("event_id", "value")
+
+
+@q(
+    "t10_flatten_json",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def t10_flatten(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("prop_k")
+    )
+
+
+@q(
+    "t11_timestamp_clamp",
+    """
+    SELECT event_id,
+           CASE WHEN ts > TIMESTAMP '2024-03-01 00:00:00'
+                THEN TIMESTAMP '2024-03-01 00:00:00' ELSE ts END::VARCHAR AS ts_clamped
+    FROM events
+    """,
+)
+def t11_clamp(spark, sf):
+    clamp = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("ts") > clamp, clamp)
+        .otherwise(F.col("ts"))
+        .cast("string")
+        .alias("ts_clamped"),
+    )
+
+
+# ======================================================================
+# Snapshot / partial sync / parity (SURVEY §2.1 S10, §2.3 J6, §2.4 A4/A5)
+# ======================================================================
+
+@q(
+    "s10_snapshot_pk_ranges",
+    """
+    SELECT o_orderkey // 1000 AS pk_range, count(*) AS n_rows,
+           min(o_orderkey) AS min_pk, max(o_orderkey) AS max_pk
+    FROM orders GROUP BY 1
+    """,
+)
+def s10_ranges(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy((F.col("o_orderkey") / 1000).cast("long").alias("pk_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_pk"),
+            F.max("o_orderkey").alias("max_pk"),
+        )
+    )
+
+
+@q(
+    "j6_partial_sync_range",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    """,
+)
+def j6_partial(spark, sf):
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderdate").between("1997-01-01 00:00:00", "1997-12-31 00:00:00")
+    )
+    cust = _t(spark, sf, "customer")
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_totalprice", "c_name")
+
+
+@q(
+    "a4_row_count_parity",
+    """
+    SELECT 'orders' AS tbl, count(*) AS n_rows FROM orders
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    """,
+)
+def a4_parity(spark, sf):
+    parts = [
+        _t(spark, sf, n).agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(n).alias("tbl"), "n_rows"
+        )
+        for n in ["orders", "customer", "lineitem", "events"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "a5_max_pk_probe",
+    """
+    SELECT (SELECT max(o_orderkey) FROM orders) AS max_order_pk,
+           (SELECT max(c_custkey) FROM customer) AS max_cust_pk,
+           (SELECT max(p_partkey) FROM part) AS max_part_pk
+    """,
+)
+def a5_max_pk(spark, sf):
+    o = _t(spark, sf, "orders").agg(F.max("o_orderkey").alias("max_order_pk"))
+    c = _t(spark, sf, "customer").agg(F.max("c_custkey").alias("max_cust_pk"))
+    p = _t(spark, sf, "part").agg(F.max("p_partkey").alias("max_part_pk"))
+    return o.crossJoin(c).crossJoin(p)
+
+
+# ======================================================================
+# Training-data pipeline: dedup / text / similarity
+# ======================================================================
+
+_WS_CTE = """
+    ws AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '')
+"""
+
+_JACCARD_CTE = _WS_CTE + """,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ws GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT s.id_a, s.id_b,
+             round(s.shared / (sa.sz + sb.sz - s.shared), 6) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b)
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           count(*) AS group_size, min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf):
+    return dedup_text.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@q(
+    "dedup_token_jaccard",
+    f"WITH {_JACCARD_CTE} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9",
+)
+def dedup_jaccard(spark, sf):
+    return dedup_text.token_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
+_MINHASH_SQL = (
+    "WITH "
+    + _JACCARD_CTE
+    + ",\n    sigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}|' || w)) AS mh{i}" for i in range(8)
+    )
+    + " FROM ws GROUP BY doc_id),\n"
+    + "    banded AS (SELECT doc_id, "
+    + ", ".join(
+        f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS b{b}" for b in range(4)
+    )
+    + " FROM sigs),\n"
+    + """    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.8
+    """
+)
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash(spark, sf):
+    return dedup_text.minhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, threshold=0.8,
+    )
+
+
+_STOP_SQL = {
+    code: "(" + ", ".join(f"'{w}'" for w in T.STOPWORDS[code]) + ")"
+    for code in T.STOPWORDS
+}
+
+_RATIO_SQL = """
+    ratios AS (
+      SELECT doc_id, lang, text,
+        len(list_filter(string_split(lower(text), ' '), w -> w IN {en}))
+          / greatest(len(string_split(lower(text), ' ')), 1) AS ren,
+        len(list_filter(string_split(lower(text), ' '), w -> w IN {de}))
+          / greatest(len(string_split(lower(text), ' ')), 1) AS rde,
+        len(list_filter(string_split(lower(text), ' '), w -> w IN {fr}))
+          / greatest(len(string_split(lower(text), ' ')), 1) AS rfr
+      FROM documents)
+""".format(en=_STOP_SQL["en"], de=_STOP_SQL["de"], fr=_STOP_SQL["fr"])
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH {_RATIO_SQL}
+    SELECT doc_id, lang,
+           CASE WHEN rfr > greatest(0.02, rde, ren) THEN 'fr'
+                WHEN ren > greatest(0.02, rde) THEN 'en'
+                WHEN rde > 0.02 THEN 'de'
+                ELSE 'unk' END AS lang_pred
+    FROM ratios
+    """,
+)
+def text_langid(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@q(
+    "text_token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@q(
+    "text_quality_score",
+    f"""
+    WITH {_RATIO_SQL}
+    SELECT doc_id,
+           round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+                 + least(ren * 4, 1.0) * 0.4
+                 + (1.0 - least(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                                / greatest(length(text), 1) * 5, 1.0)) * 0.2,
+                 4) AS quality
+    FROM ratios
+    """,
+)
+def text_quality(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def doc_fp(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@q(
+    "ann_similar_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.25
+    """,
+)
+def ann_pairs(spark, sf):
+    return ann.similar_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.25, max_id=100
+    )
+
+
+# Non-SQL-expressible / Spark-only operators → rows-only driver check
+@q("ann_cosine_topk")
+def ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+@q("ann_lsh_topk")
+def ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ann.lsh_topk(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64)
+
+
+@q("dedup_simhash")
+def dedup_simhash(spark, sf):
+    return dedup_text.simhash64(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 100), "doc_id", "text"
+    )
+
+
+@q("multimodal_features")
+def multimodal_features(spark, sf):
+    from pipelinewise_spark.functions import multimodal
+
+    assets = multimodal.generate_fake_assets(spark, n=128)
+    return multimodal.extract_features(assets)
