@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "events_per_sec": ...}.
+
+--scaling: runs the identical CDC-apply job at two parallelism levels
+(local[8] and local[32]) on the SAME pre-generated input and reports
+throughput at both + scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N executor clusters) — results also written to
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_of(SF_DIR)
+
+# CDC workload sized to the scale factor: sf0.1 → 1.0M inserts + 0.5M
+# updates/deletes = 1.5M change events.
+N_CONVS = max(1000, int(1_000_000 * SF / 10) * 10 // 10)
+TURNS = 10
+N_UPDATES = max(500, int(5_000_000 * SF))
+
+
+def _spark(master: str):
+    from pipelinewise_spark.session import get_spark
+
+    return get_spark(app_name="pipelinewise-bench", master=master)
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def cdc_apply_bench(spark, events_path: str, *, num_buckets: int = 64) -> dict:
+    """The headline: binlog-shaped change stream → LakeTable upsert,
+    3 micro-batches, end-to-end (dedup + merge + commit)."""
+    from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline
+    from pipelinewise_spark.lake.table import LakeTable
+
+    events = spark.read.parquet(events_path)
+    n_events = events.count()
+    tdir = tempfile.mkdtemp(prefix="pw-bench-")
+    table = LakeTable.create(
+        spark, os.path.join(tdir, "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=num_buckets,
+    )
+    pipe = CdcPipeline(table, stream="bench")
+    t0 = time.perf_counter()
+    pipe.replay(events, n_batches=3)
+    dt = time.perf_counter() - t0
+    rows = table.read().count()
+    shutil.rmtree(tdir, ignore_errors=True)
+    return {
+        "sec": dt,
+        "n_events": n_events,
+        "events_per_sec": n_events / dt,
+        "final_rows": rows,
+    }
+
+
+def generate_events(spark, path: str) -> None:
+    from pipelinewise_spark.cdc.gen import generate_change_events
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    ev = generate_change_events(
+        spark,
+        n_convs=N_CONVS,
+        turns_per_conv=TURNS,
+        n_updates=N_UPDATES,
+        delete_pct=5,
+        dup_every=50,
+        skew_alpha=2.0,
+    )
+    ev.write.mode("overwrite").parquet(path)
+
+
+def query_benches(spark) -> dict:
+    """Representative operator benches over the driver's sf tables."""
+    from pipelinewise_spark.queries import QUERIES
+
+    names = [
+        "j1_dedup_last_per_key",
+        "cdc_fold_hard_delete",
+        "s11_incremental_scan",
+        "a3_batch_metrics",
+        "t4_t6_masks_customer",
+        "t2_canonicalize_ts",
+        "j6_partial_sync_range",
+        "dedup_exact",
+        "text_quality_score",
+        "text_lang_id",
+        "ann_cosine_topk",
+        "multimodal_features",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_default() -> dict:
+    spark = _spark(f"local[{CPUS}]")
+    events_path = os.path.join(
+        tempfile.gettempdir(), f"pw-bench-events-sf{SF}-{N_CONVS}x{TURNS}+{N_UPDATES}"
+    )
+    generate_events(spark, events_path)
+
+    t_total0 = time.perf_counter()
+    cdc = cdc_apply_bench(spark, events_path)
+    queries = {"cdc_apply": round(cdc["sec"], 3)}
+    queries.update(query_benches(spark))
+    total = time.perf_counter() - t_total0
+    result = {
+        "metric": "cdc_apply_events_per_sec_plus_operator_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "events_per_sec": round(cdc["events_per_sec"]),
+        "n_change_events": cdc["n_events"],
+        "final_rows": cdc["final_rows"],
+        "parallelism": CPUS,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    """Same job, same input, two parallelism levels → scaling efficiency
+    = (T_small × N_small) / (T_big × N_big) for fixed total work."""
+    events_path = os.path.join(
+        tempfile.gettempdir(), f"pw-bench-events-sf{SF}-{N_CONVS}x{TURNS}+{N_UPDATES}"
+    )
+    results = {}
+    for n in levels:
+        spark = _spark(f"local[{n}]")
+        generate_events(spark, events_path)
+        # warm-up pass to exclude one-off JIT/codegen costs, then measure
+        cdc_apply_bench(spark, events_path)
+        m = cdc_apply_bench(spark, events_path)
+        results[n] = m
+        spark.stop()
+        time.sleep(2)
+    lo, hi = min(levels), max(levels)
+    speedup = results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
+    efficiency = speedup / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_localN_vs_local4N",
+        "sf": SF,
+        "n_change_events": results[lo]["n_events"],
+        "throughput": {
+            f"local[{n}]": round(results[n]["events_per_sec"]) for n in levels
+        },
+        "seconds": {f"local[{n}]": round(results[n]["sec"], 3) for n in levels},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))

@@ -25,15 +25,32 @@ def latest_per_key(
     key_cols: list[str],
     lsn_col: str = "lsn",
     tiebreak_cols: list[str] | None = None,
+    use_window: bool = False,
 ) -> DataFrame:
     """Last change per PK by LSN. Equal-LSN rows are verbatim replays of
-    the same log record (at-least-once upstream), so any of them may win."""
-    order = [F.col(lsn_col).desc()] + [
-        F.col(c).desc() for c in (tiebreak_cols or [])
-    ]
-    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    the same log record (at-least-once upstream), so any of them may win.
+
+    Default path is ``max_by`` (hash aggregate): partial aggregation
+    collapses duplicates map-side BEFORE the shuffle and needs no sort —
+    at 10^10-event scale with replay overlap this cuts shuffle volume by
+    the duplicate factor, where the window formulation always shuffles
+    every row and sorts each partition. ``use_window=True`` keeps the
+    row_number formulation (useful when the plan already has a compatible
+    partitioning to reuse)."""
+    if use_window:
+        order = [F.col(lsn_col).desc()] + [
+            F.col(c).desc() for c in (tiebreak_cols or [])
+        ]
+        w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    others = [c for c in df.columns if c not in key_cols]
+    ordering = F.struct(F.col(lsn_col), *[F.col(c) for c in (tiebreak_cols or [])])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.max_by(F.struct(*others), ordering).alias("__winner"))
+        .select(*key_cols, "__winner.*")
     )
