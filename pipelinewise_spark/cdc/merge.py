@@ -80,6 +80,16 @@ def merge_into(
     key_cols = table.key_cols
     data_cols = table.data_cols
 
+    if not key_cols:
+        # J4 — append-only load (no primary key): no dedup, no join, no
+        # bucket replace; files are appended under a content-hash bucket
+        # (the reference's synthetic-RID append, target_postgres
+        # __init__.py:132-150 RID branch + db_sync.py:395-400).
+        return _append_only(
+            table, source, op_col=op_col, lsn_col=lsn_col,
+            batch_id=batch_id, pipeline_id=pipeline_id, stream=stream,
+        )
+
     prev_bookmark = table.bookmarks.get(stream, {}).get("lsn")
     if filter_applied_lsn and prev_bookmark is not None:
         source = source.where(F.col(lsn_col) > F.lit(int(prev_bookmark)))
@@ -113,99 +123,159 @@ def merge_into(
         .cast("timestamp")
         .alias(SDC_DELETED_AT),
     ).withColumn("__s_exists", F.lit(True))
-    src = src.persist()
-    try:
-        affected = sorted(
-            r[0]
-            for r in src.select(table.bucket_expr().alias("b")).distinct().collect()
-        )
-        if not affected:
-            if batch_id is not None:
-                table.commit(
-                    batch_id=batch_id,
-                    pipeline_id=pipeline_id,
-                    summary={"operation": "merge", "empty_batch": True},
-                )
-            return {"rows": 0, "batch_id": batch_id}
-
-        tgt = table.read(buckets=affected).withColumn("__t_exists", F.lit(True))
-
-        s, t = src.alias("s"), tgt.alias("t")
-        cond = None
-        for k in key_cols:
-            c = F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
-            cond = c if cond is None else (cond & c)
-        joined = s.join(t, cond, "full_outer")
-
-        s_exists = F.coalesce(F.col("s.__s_exists"), F.lit(False))
-        t_exists = F.coalesce(F.col("t.__t_exists"), F.lit(False))
-        is_stale = t_exists & s_exists & (
-            F.col(f"s.{LSN_COL}") < F.col(f"t.{LSN_COL}")
-        )
-        is_delete = F.col("s.__op") == "D"
-        action = (
-            F.when(~s_exists, F.lit("carry"))
-            .when(is_stale, F.lit("stale"))
-            .when(
-                is_delete & F.lit(not soft_delete),
-                F.when(t_exists, F.lit("delete")).otherwise(F.lit("noop_delete")),
+    # Affected-bucket probe runs on the RAW (pre-dedup) batch: dedup
+    # keeps ≥1 row per key so the bucket sets are identical, and the
+    # raw probe is a cheap partial-distinct of small ints with no
+    # dedup shuffle and no need to persist the deduped batch.
+    affected = sorted(
+        r[0]
+        for r in source.select(table.bucket_expr().alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        if batch_id is not None:
+            table.commit(
+                batch_id=batch_id,
+                pipeline_id=pipeline_id,
+                summary={"operation": "merge", "empty_batch": True},
             )
-            .when(is_delete, F.lit("tombstone"))
-            .when(~t_exists, F.lit("insert"))
-            .otherwise(F.lit("update"))
-        )
-        take_target = action.isin("carry", "stale")
-        out_cols = []
-        for f in table.manifest["fields"]:
-            c = f["logical"]
-            out_cols.append(
-                F.when(take_target, F.col(f"t.{c}"))
-                .otherwise(F.col(f"s.{c}"))
-                .alias(c)
-            )
-        projected = joined.select(
-            *out_cols,
-            action.alias("__action"),
-            F.when(s_exists, F.col(f"s.{LSN_COL}")).alias("__s_lsn"),
-        )
+        return {"rows": 0, "batch_id": batch_id}
 
-        obs = Observation("merge")
-        observed = projected.observe(
-            obs,
-            F.sum(F.when(F.col("__action") == "insert", 1).otherwise(0)).alias("inserted"),
-            F.sum(F.when(F.col("__action") == "update", 1).otherwise(0)).alias("updated"),
-            F.sum(F.when(F.col("__action") == "delete", 1).otherwise(0)).alias("deleted"),
-            F.sum(F.when(F.col("__action") == "tombstone", 1).otherwise(0)).alias("tombstoned"),
-            F.sum(F.when(F.col("__action") == "stale", 1).otherwise(0)).alias("stale"),
-            F.sum(F.when(F.col("__action") == "carry", 1).otherwise(0)).alias("carried"),
-            F.max("__s_lsn").alias("max_lsn"),
-            F.count(F.lit(1)).alias("joined_rows"),
+    tgt = table.read(buckets=affected).withColumn("__t_exists", F.lit(True))
+
+    s, t = src.alias("s"), tgt.alias("t")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = s.join(t, cond, "full_outer")
+
+    s_exists = F.coalesce(F.col("s.__s_exists"), F.lit(False))
+    t_exists = F.coalesce(F.col("t.__t_exists"), F.lit(False))
+    is_stale = t_exists & s_exists & (
+        F.col(f"s.{LSN_COL}") < F.col(f"t.{LSN_COL}")
+    )
+    is_delete = F.col("s.__op") == "D"
+    action = (
+        F.when(~s_exists, F.lit("carry"))
+        .when(is_stale, F.lit("stale"))
+        .when(
+            is_delete & F.lit(not soft_delete),
+            F.when(t_exists, F.lit("delete")).otherwise(F.lit("noop_delete")),
         )
-        result = (
-            observed.where(~F.col("__action").isin(*DROP_ACTIONS))
-            .drop("__action", "__s_lsn")
-            .withColumn("_bucket", table.bucket_expr())
+        .when(is_delete, F.lit("tombstone"))
+        .when(~t_exists, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    take_target = action.isin("carry", "stale")
+    out_cols = []
+    for f in table.manifest["fields"]:
+        c = f["logical"]
+        out_cols.append(
+            F.when(take_target, F.col(f"t.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
         )
-        added = table.write_bucket_files(result)
-        metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
-                   if k != "max_lsn"}
-        max_lsn = obs.get.get("max_lsn")
-        prev = table.bookmarks.get(stream, {}).get("lsn")
-        new_lsn = max(
-            int(max_lsn) if max_lsn is not None else -1,
-            int(prev) if prev is not None else -1,
-        )
-        bookmarks = {stream: {"lsn": new_lsn}} if new_lsn >= 0 else None
-        table.commit(
-            added=added,
-            replaced_buckets=affected,
-            bookmarks=bookmarks,
-            batch_id=batch_id,
-            pipeline_id=pipeline_id,
-            summary={"operation": "merge", "metrics": metrics,
-                     "affected_buckets": affected},
-        )
-        metrics.update(batch_id=batch_id, max_lsn=max_lsn, affected_buckets=len(affected))
-        return metrics
-    finally:
-        src.unpersist()
+    projected = joined.select(
+        *out_cols,
+        action.alias("__action"),
+        F.when(s_exists, F.col(f"s.{LSN_COL}")).alias("__s_lsn"),
+    )
+
+    obs = Observation("merge")
+    observed = projected.observe(
+        obs,
+        F.sum(F.when(F.col("__action") == "insert", 1).otherwise(0)).alias("inserted"),
+        F.sum(F.when(F.col("__action") == "update", 1).otherwise(0)).alias("updated"),
+        F.sum(F.when(F.col("__action") == "delete", 1).otherwise(0)).alias("deleted"),
+        F.sum(F.when(F.col("__action") == "tombstone", 1).otherwise(0)).alias("tombstoned"),
+        F.sum(F.when(F.col("__action") == "stale", 1).otherwise(0)).alias("stale"),
+        F.sum(F.when(F.col("__action") == "carry", 1).otherwise(0)).alias("carried"),
+        F.max("__s_lsn").alias("max_lsn"),
+        F.count(F.lit(1)).alias("joined_rows"),
+    )
+    result = (
+        observed.where(~F.col("__action").isin(*DROP_ACTIONS))
+        .drop("__action", "__s_lsn")
+        .withColumn("_bucket", table.bucket_expr())
+    )
+    added = table.write_bucket_files(result)
+    metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
+               if k != "max_lsn"}
+    max_lsn = obs.get.get("max_lsn")
+    prev = table.bookmarks.get(stream, {}).get("lsn")
+    new_lsn = max(
+        int(max_lsn) if max_lsn is not None else -1,
+        int(prev) if prev is not None else -1,
+    )
+    bookmarks = {stream: {"lsn": new_lsn}} if new_lsn >= 0 else None
+    table.commit(
+        added=added,
+        replaced_buckets=affected,
+        bookmarks=bookmarks,
+        batch_id=batch_id,
+        pipeline_id=pipeline_id,
+        summary={"operation": "merge", "metrics": metrics,
+                 "affected_buckets": affected},
+    )
+    metrics.update(batch_id=batch_id, max_lsn=max_lsn, affected_buckets=len(affected))
+    return metrics
+
+
+def _append_only(
+    table: LakeTable,
+    source: DataFrame,
+    *,
+    op_col: str,
+    lsn_col: str,
+    batch_id: Any,
+    pipeline_id: str,
+    stream: str,
+) -> dict:
+    """J4 — no-PK append: rows land under a content-hash bucket; no
+    target read, no join, no bucket replacement (pure file add), so the
+    commit is O(batch) regardless of table size."""
+    prev = table.bookmarks.get(stream, {}).get("lsn")
+    if prev is not None and lsn_col in source.columns:
+        source = source.where(F.col(lsn_col) > F.lit(int(prev)))
+    cols = []
+    for f in table.manifest["fields"]:
+        c = f["logical"]
+        if c in source.columns:
+            cols.append(F.col(c))
+        elif c == LSN_COL and lsn_col in source.columns:
+            cols.append(F.col(lsn_col).cast("long").alias(LSN_COL))
+        elif c == SDC_BATCHED_AT:
+            cols.append(F.current_timestamp().alias(c))
+        elif c == SDC_EXTRACTED_AT and "time_extracted" in source.columns:
+            cols.append(F.col("time_extracted").alias(c))
+        else:
+            cols.append(F.lit(None).cast(table.logical_schema[c].dataType).alias(c))
+    prepared = source.select(*cols)
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in table.data_cols if c in prepared.columns]),
+        F.lit(table.num_buckets),
+    ).cast("int")
+    obs = Observation("append")
+    observed = prepared.observe(
+        obs,
+        F.count(F.lit(1)).alias("inserted"),
+        F.max(LSN_COL).alias("max_lsn"),
+    ).withColumn("_bucket", bucket)
+    added = table.write_bucket_files(observed)
+    max_lsn = obs.get.get("max_lsn")
+    new_lsn = max(
+        int(max_lsn) if max_lsn is not None else -1,
+        int(prev) if prev is not None else -1,
+    )
+    metrics = {"inserted": int(obs.get["inserted"]), "appended": True}
+    table.commit(
+        added=added,
+        bookmarks={stream: {"lsn": new_lsn}} if new_lsn >= 0 else None,
+        batch_id=batch_id,
+        pipeline_id=pipeline_id,
+        summary={"operation": "append", "metrics": metrics},
+    )
+    metrics.update(batch_id=batch_id, max_lsn=max_lsn)
+    return metrics

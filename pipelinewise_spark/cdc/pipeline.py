@@ -125,3 +125,54 @@ class CdcPipeline:
         if available_now:
             query.awaitTermination(timeout_sec)
         return query
+
+
+class MultiStreamPipeline:
+    """Routes a mixed change stream (many tables in one log — the
+    reference's combined binlog pass over all LOG_BASED streams,
+    ``tap_mysql/.../binlog.py:857-897``) to one LakeTable per stream.
+
+    Each micro-batch splits by the ``stream`` column and merges into the
+    matching table; per-stream bookmarks and batch-id guards live in each
+    table's own manifest, so per-stream exactly-once is preserved even
+    when one stream's merge fails mid-batch (the replay skips streams
+    already committed for that batch id)."""
+
+    def __init__(
+        self,
+        pipelines: dict[str, CdcPipeline],
+        *,
+        stream_col: str = "stream",
+    ):
+        self.pipelines = pipelines
+        self.stream_col = stream_col
+
+    def apply_batch(self, df: DataFrame, batch_id: Any = None) -> dict[str, dict]:
+        results = {}
+        for stream, pipe in self.pipelines.items():
+            part = df.where(df[self.stream_col] == stream)
+            results[stream] = pipe.apply_batch(part, batch_id=batch_id)
+        return results
+
+    def run_file_stream(self, events_path: str, checkpoint_dir: str, **kw):
+        spark = next(iter(self.pipelines.values())).table.spark
+        from pyspark.sql import SparkSession  # noqa: F401
+
+        schema = kw.pop("schema", None) or CHANGE_EVENT_SCHEMA
+        fmt = kw.pop("fmt", "parquet")
+        reader = spark.readStream.schema(schema)
+        if kw.get("max_files_per_trigger"):
+            reader = reader.option(
+                "maxFilesPerTrigger", kw["max_files_per_trigger"]
+            )
+        source = getattr(reader, fmt)(events_path)
+        query = (
+            source.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(kw.get("timeout_sec"))
+        return query

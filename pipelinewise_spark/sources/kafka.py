@@ -1,0 +1,48 @@
+"""S12 — Kafka change-stream source (reference: tap-kafka,
+``tap_kafka/sync.py:117-468``).
+
+The reference manages per-partition offset bookmarks itself (auto-commit
+off, ``sync.py:133``; bookmark shape ``{partition, offset, timestamp}``,
+``sync.py:80-93``). Spark's Kafka source owns exactly that state natively
+in the streaming checkpoint, so the adapter is configuration + singer
+decode. The ``spark-sql-kafka`` package is not present in this sandbox —
+the reader builds lazily and only fails at ``.load()`` if the jar is
+missing, which keeps this module importable and unit-testable.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: dict | str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+):
+    """Builds the readStream for a singer-framed (or raw JSON) topic.
+    Follow with ``.load().selectExpr("CAST(value AS STRING) as value")`` →
+    :func:`pipelinewise_spark.singer.protocol.decode_records`.
+
+    ``starting_offsets`` accepts the reference's bookmark dict
+    ({partition: offset}) and renders Spark's JSON offset spec."""
+    if isinstance(starting_offsets, dict):
+        starting_offsets = json.dumps({topic: {str(p): o for p, o in starting_offsets.items()}})
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader
