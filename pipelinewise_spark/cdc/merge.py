@@ -200,7 +200,13 @@ def merge_into(
         .drop("__action", "__s_lsn")
         .withColumn("_bucket", table.bucket_expr())
     )
-    added = table.write_bucket_files(result)
+    added = table.write_bucket_files(
+        result,
+        n_partitions=len(affected),
+        # join output is already hash(key)-partitioned; with key-aligned
+        # buckets the write needs no further shuffle
+        clustered=table.buckets_aligned_with_keys,
+    )
     metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
                if k != "max_lsn"}
     max_lsn = obs.get.get("max_lsn")

