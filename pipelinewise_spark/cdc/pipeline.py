@@ -42,6 +42,9 @@ class CdcPipeline:
         op_col: str = "op",
         lsn_col: str = "lsn",
         transform: Callable[[DataFrame], DataFrame] | None = None,
+        auto_evolve: bool = False,
+        compact_every: int | None = None,
+        max_files_per_bucket: int = 4,
     ):
         self.table = table
         self.stream = stream
@@ -50,15 +53,34 @@ class CdcPipeline:
         self.op_col = op_col
         self.lsn_col = lsn_col
         self.transform = transform
+        self.auto_evolve = auto_evolve
+        self.compact_every = compact_every
+        self.max_files_per_bucket = max_files_per_bucket
         self.history: list[dict] = []
 
     # ------------------------------------------------------------- batching
 
     def apply_batch(self, df: DataFrame, batch_id: Any = None) -> dict:
         """One micro-batch: optional inline transform (the reference's
-        transform-field stage) → LSN dedup → MERGE → atomic bookmark."""
+        transform-field stage) → optional schema-drift reconcile → LSN
+        dedup → MERGE → atomic bookmark → optional compaction."""
         if self.transform is not None:
             df = self.transform(df)
+        if self.auto_evolve:
+            from pyspark.sql.types import StructType
+
+            from pipelinewise_spark.evolution.drift import reconcile
+
+            payload = StructType(
+                [
+                    f
+                    for f in df.schema.fields
+                    if f.name
+                    not in ("op", "lsn", "stream", "time_extracted",
+                            self.op_col, self.lsn_col)
+                ]
+            )
+            reconcile(self.table, payload)
         metrics = merge_into(
             self.table,
             df,
@@ -70,7 +92,48 @@ class CdcPipeline:
             stream=self.stream,
         )
         self.history.append(metrics)
+        if (
+            self.compact_every
+            and len(self.history) % self.compact_every == 0
+        ):
+            self.table.compact(max_files_per_bucket=self.max_files_per_bucket)
         return metrics
+
+    # ----------------------------------------------------- singer ingestion
+
+    def ingest_singer_lines(self, lines: DataFrame, batch_id: Any = None) -> dict:
+        """Bounded singer-framed ingest: control messages steer the engine
+        (SCHEMA → schema-drift reconcile, ACTIVATE_VERSION → recorded —
+        targets treat it as a no-op/log, ``target_postgres/__init__.py:
+        223-228``; STATE lines are informational, the committed bookmark
+        is authoritative), RECORDs decode and merge."""
+        from pyspark.sql.types import StructType
+
+        from pipelinewise_spark.evolution.drift import reconcile
+        from pipelinewise_spark.singer import protocol
+        from pipelinewise_spark.singer.schema import jsonschema_to_struct
+
+        ctrl = protocol.collect_control_messages(lines)
+        payload = None
+        for msg in ctrl["SCHEMA"]:
+            if msg.get("stream") == self.stream or len(ctrl["SCHEMA"]) == 1:
+                payload = jsonschema_to_struct(msg["schema"])
+                reconcile(self.table, payload)
+        if payload is None:
+            payload = StructType(
+                [
+                    f
+                    for f in self.table.logical_schema.fields
+                    if f.name in self.table.data_cols
+                ]
+            )
+        if ctrl["ACTIVATE_VERSION"]:
+            versions = [m.get("version") for m in ctrl["ACTIVATE_VERSION"]]
+            self.history.append(
+                {"control": "activate_version", "versions": versions}
+            )
+        decoded = protocol.decode_records(lines, payload, stream=self.stream)
+        return self.apply_batch(decoded, batch_id=batch_id)
 
     def replay(self, events: DataFrame, *, n_batches: int = 1, lsn_bounds: list[tuple[int, int]] | None = None) -> list[dict]:
         """Batch-mode replay of a bounded event set, split by LSN range —
