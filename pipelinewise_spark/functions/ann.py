@@ -151,3 +151,73 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector — the coarse-quantizer "training" step of an
+    IVF index (here labels stand in for k-means cells; at scale the cells
+    come from a sampled k-means). Element-wise mean via posexplode +
+    re-assemble: one shuffle keyed (label, dim), fully JVM-side.
+    Columns: label, idx, centroid_val."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("idx", "v"),
+    )
+    return (
+        exploded.groupBy("label", "idx")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are partitioned into
+    cells (label_col); each query probes its ``n_probe`` nearest cell
+    centroids and ranks only vectors in those cells. The candidate join
+    is an equi-join on cell id — at 100 TB this prunes the scan to
+    n_probe/n_cells of the corpus before any full dot product."""
+    cents = (
+        label_centroids(corpus, label_col=label_col, vec_col=vec_col)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x["centroid_val"]).alias("cv"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "label", cosine(F.col("qv"), F.col("cv")).alias("csim"))
+        .withColumn("prank", F.row_number().over(probe_w))
+        .where(F.col("prank") <= n_probe)
+        .select("query_id", "qv", "label")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "label")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

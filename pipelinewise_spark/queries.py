@@ -643,6 +643,43 @@ def ann_pairs(spark, sf):
     )
 
 
+@q(
+    "ann_ivf_centroids",
+    """
+    SELECT label, u.idx - 1 AS idx, round(avg(u.v), 6) AS centroid_val
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings) u(label, v, idx)
+    GROUP BY label, u.idx - 1
+    """,
+)
+def ann_centroids(spark, sf):
+    """IVF coarse-quantizer training: per-cell mean embedding."""
+    return ann.label_centroids(_t(spark, sf, "embeddings"))
+
+
+@q(
+    "text_token_bpeish",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish
+    FROM documents
+    """,
+)
+def text_bpeish(spark, sf):
+    """BPE-ish pre-tokenizer count: letter runs / digit runs / single
+    punctuation — the usual GPT-style pre-tokenization regex shape."""
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("n_bpeish"),
+    )
+
+
 # Non-SQL-expressible / Spark-only operators → rows-only driver check
 @q("ann_cosine_topk")
 def ann_topk(spark, sf):
@@ -654,6 +691,12 @@ def ann_topk(spark, sf):
 def ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ann.lsh_topk(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64)
+
+
+@q("ann_ivf_topk")
+def ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_probe=2)
 
 
 @q("dedup_simhash")
