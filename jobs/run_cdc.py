@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""CDC apply job — the ``spark-submit --py-files`` entrypoint.
+
+Cluster usage (north rule deployment shape):
+
+    ./scripts/build_pyfiles.sh                      # → dist/pipelinewise_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/pipelinewise_spark.zip \\
+        jobs/run_cdc.py \\
+        --events  s3://bucket/change-log/ \\
+        --table   s3://bucket/lake/transcripts \\
+        --checkpoint s3://bucket/ckpt/transcripts \\
+        --stream  public-transcripts \\
+        --mode    stream
+
+Modes:
+- ``stream``   bounded availableNow run over the change-log directory
+  (kill + rerun with the same --checkpoint resumes exactly);
+- ``replay``   batch replay of the whole event set in --batches chunks;
+- ``snapshot`` initial load from --snapshot parquet, bookmark at --lsn0.
+
+The table is created on first run from the transcript schema (or
+--append-only for a keyless append table).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--events", help="change-event parquet dir (lsn/op/... envelope)")
+    p.add_argument("--table", required=True, help="LakeTable root path")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (mode=stream)")
+    p.add_argument("--stream", default="default")
+    p.add_argument("--mode", choices=["stream", "replay", "snapshot"], default="stream")
+    p.add_argument("--batches", type=int, default=1, help="replay batch count")
+    p.add_argument("--snapshot", help="snapshot parquet path (mode=snapshot)")
+    p.add_argument("--lsn0", type=int, help="log position captured BEFORE snapshot export")
+    p.add_argument("--soft-delete", action="store_true")
+    p.add_argument("--append-only", action="store_true")
+    p.add_argument("--num-buckets", type=int, default=256)
+    p.add_argument("--compact-every", type=int, default=None)
+    p.add_argument("--transform-config", help="JSON file: transform-field mask list")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline
+    from pipelinewise_spark.cdc.snapshot import initial_load
+    from pipelinewise_spark.lake.table import LakeTable
+
+    spark = SparkSession.builder.appName("pipelinewise-spark-cdc").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if LakeTable.exists(args.table):
+        table = LakeTable(spark, args.table)
+    else:
+        table = LakeTable.create(
+            spark,
+            args.table,
+            TRANSCRIPT_SCHEMA,
+            [] if args.append_only else TRANSCRIPT_KEY,
+            num_buckets=args.num_buckets,
+        )
+
+    transform = None
+    if args.transform_config:
+        from pipelinewise_spark.transform.compiler import compile_transformations
+
+        with open(args.transform_config) as fh:
+            transform = compile_transformations(json.load(fh), stream=args.stream)
+
+    pipe = CdcPipeline(
+        table,
+        stream=args.stream,
+        soft_delete=args.soft_delete,
+        transform=transform,
+        compact_every=args.compact_every,
+    )
+
+    if args.mode == "snapshot":
+        if not args.snapshot or args.lsn0 is None:
+            p.error("--snapshot and --lsn0 required for mode=snapshot")
+        initial_load(
+            table, spark.read.parquet(args.snapshot), lsn0=args.lsn0,
+            stream=args.stream,
+        )
+        print(json.dumps({"mode": "snapshot", "rows": table.read().count(),
+                          "bookmarks": table.bookmarks}))
+        return 0
+
+    if not args.events:
+        p.error("--events required for mode=stream/replay")
+    if args.mode == "replay":
+        metrics = pipe.replay(spark.read.parquet(args.events), n_batches=args.batches)
+    else:
+        if not args.checkpoint:
+            p.error("--checkpoint required for mode=stream")
+        pipe.run_file_stream(
+            args.events, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        metrics = pipe.history
+    print(json.dumps({
+        "mode": args.mode,
+        "batches": len(metrics),
+        "bookmarks": table.bookmarks,
+        "version": table.version,
+        "metrics": metrics,
+    }, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

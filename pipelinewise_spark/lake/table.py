@@ -178,6 +178,11 @@ class LakeTable:
         with open(os.path.join(d, versions[-1])) as fh:
             return json.load(fh)
 
+    def load_manifest(self, version: int) -> dict:
+        p = os.path.join(self.path, MANIFEST_DIR, f"v{version:012d}.json")
+        with open(p) as fh:
+            return json.load(fh)
+
     def refresh(self) -> "LakeTable":
         self.manifest = self._load_current_manifest()
         return self
@@ -243,12 +248,21 @@ class LakeTable:
 
     # ----------------------------------------------------------------- read
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Read the current snapshot (optionally only some buckets) with
-        logical column names. Missing physical columns (pre-evolution
-        files) surface as NULL — the same backfill-as-null the reference
-        gets from ``ALTER TABLE ADD COLUMN`` (``db_sync.py:539-549``)."""
-        bucket_map = self.manifest["buckets"]
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (optionally only some buckets, optionally a
+        historical ``version`` — time travel: every manifest is immutable
+        and fully describes its snapshot). Missing physical columns
+        (pre-evolution files) surface as NULL — the same backfill-as-null
+        the reference gets from ``ALTER TABLE ADD COLUMN``
+        (``db_sync.py:539-549``)."""
+        manifest = (
+            self.manifest if version is None else self.load_manifest(version)
+        )
+        bucket_map = manifest["buckets"]
         keys = (
             [str(b) for b in buckets] if buckets is not None else list(bucket_map)
         )
@@ -257,14 +271,14 @@ class LakeTable:
             for k in keys
             for rel in bucket_map.get(k, [])
         ]
+        fields = manifest["fields"]
+        logical = _struct_from_fields([(f["logical"], f["type"]) for f in fields])
         if not files:
-            return self.spark.createDataFrame([], self.logical_schema)
-        df = self.spark.read.schema(self.physical_schema).parquet(*files)
+            return self.spark.createDataFrame([], logical)
+        physical = _struct_from_fields([(f["physical"], f["type"]) for f in fields])
+        df = self.spark.read.schema(physical).parquet(*files)
         return df.select(
-            *[
-                F.col(f["physical"]).alias(f["logical"])
-                for f in self.manifest["fields"]
-            ]
+            *[F.col(f["physical"]).alias(f["logical"]) for f in fields]
         )
 
     def to_df(self) -> DataFrame:
@@ -489,6 +503,43 @@ class LakeTable:
         return self.commit(fields=fields, summary={"operation": "evolve", "actions": actions})
 
     # ----------------------------------------------------------- maintenance
+
+    def vacuum(self, *, keep_versions: int = 1) -> dict:
+        """Garbage-collect data files not referenced by the newest
+        ``keep_versions`` manifests, stale write-temp dirs, and the
+        superseded manifests themselves. Crash-safe by construction: a
+        crashed writer leaves only unreferenced files, which vacuum
+        reclaims; readers of retained versions are unaffected
+        (reference analog: temp-table DROP cleanup,
+        ``fastsync/partialsync/utils.py:74-78``)."""
+        d = os.path.join(self.path, MANIFEST_DIR)
+        names = sorted(
+            n for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+        )
+        keep, drop = names[-keep_versions:], names[:-keep_versions]
+        referenced: set[str] = set()
+        for name in keep:
+            with open(os.path.join(d, name)) as fh:
+                m = json.load(fh)
+            for fl in m["buckets"].values():
+                referenced.update(fl)
+        removed_files = 0
+        data_dir = os.path.join(self.path, DATA_DIR)
+        for fn in os.listdir(data_dir):
+            rel = os.path.join(DATA_DIR, fn)
+            if rel not in referenced:
+                os.unlink(os.path.join(data_dir, fn))
+                removed_files += 1
+        for entry in os.listdir(self.path):
+            if entry.startswith("_tmp-write-"):
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        for name in drop:
+            os.unlink(os.path.join(d, name))
+        return {
+            "removed_files": removed_files,
+            "removed_manifests": len(drop),
+            "kept_versions": [int(n[1:-5]) for n in keep],
+        }
 
     def compact(self, max_files_per_bucket: int = 1) -> dict | None:
         """Rewrite buckets whose file chains grew past the threshold.
