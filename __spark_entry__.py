@@ -69,7 +69,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pipelinewise_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def _utc(fn):
+        # timestamp-formatting queries must render in UTC regardless of
+        # the harness session's timezone (oracle parquet is naive/UTC)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {name: _utc(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -191,13 +191,28 @@ def run_default() -> dict:
     )
     generate_events(spark, events_path)
 
+    # skewed variant: top conv ids absorb most update traffic (hot-key
+    # stress for the dedup agg + merge join; AQE skew-join handles it)
+    skew_path = events_path + "-skew8"
+    if not os.path.exists(os.path.join(skew_path, "_SUCCESS")):
+        from pipelinewise_spark.cdc.gen import generate_change_events
+
+        generate_change_events(
+            spark, n_convs=N_CONVS, turns_per_conv=TURNS,
+            n_updates=N_UPDATES, delete_pct=5, skew_alpha=8.0,
+        ).write.mode("overwrite").parquet(skew_path)
+
     # warm-up pass (throwaway table): excludes one-off codegen/JIT costs
     # so the measured figure reflects steady-state throughput
     cdc_apply_bench(spark, events_path)
 
     t_total0 = time.perf_counter()
     cdc = cdc_apply_bench(spark, events_path)
-    queries = {"cdc_apply": round(cdc["sec"], 3)}
+    skew = cdc_apply_bench(spark, skew_path)
+    queries = {
+        "cdc_apply": round(cdc["sec"], 3),
+        "cdc_apply_skewed": round(skew["sec"], 3),
+    }
     queries.update(query_benches(spark))
     total = time.perf_counter() - t_total0
     result = {
@@ -207,6 +222,7 @@ def run_default() -> dict:
         "queries": queries,
         "sf": SF,
         "events_per_sec": round(cdc["events_per_sec"]),
+        "events_per_sec_skewed": round(skew["events_per_sec"]),
         "n_change_events": cdc["n_events"],
         "final_rows": cdc["final_rows"],
         "parallelism": CPUS,
