@@ -40,6 +40,29 @@ def test_multistream_routing(spark, tmp_path):
     assert tb.bookmarks["b"]["lsn"] == 20
 
 
+def test_multistream_file_stream(spark, tmp_path):
+    """Mixed two-stream change log through the streaming entry point:
+    per-stream routing + per-table bookmarks under availableNow."""
+    ev_a = generate_change_events(
+        spark, n_convs=6, turns_per_conv=2, n_updates=10, stream="a"
+    )
+    ev_b = generate_change_events(
+        spark, n_convs=4, turns_per_conv=2, n_updates=6, stream="b", seed=9
+    )
+    both = ev_a.unionByName(ev_b)
+    src = str(tmp_path / "mixed")
+    both.coalesce(1).write.mode("overwrite").parquet(src)
+    ta = LakeTable.create(spark, str(tmp_path / "ma"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY, num_buckets=2)
+    tb = LakeTable.create(spark, str(tmp_path / "mb"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY, num_buckets=2)
+    multi = MultiStreamPipeline(
+        {"a": CdcPipeline(ta, stream="a"), "b": CdcPipeline(tb, stream="b")}
+    )
+    multi.run_file_stream(src, str(tmp_path / "mckpt"))
+    assert ta.refresh().bookmarks["a"]["lsn"] == 22
+    assert tb.refresh().bookmarks["b"]["lsn"] == 14
+    assert ta.read().count() > 0 and tb.read().count() > 0
+
+
 def test_append_only_no_pk(spark, tmp_path):
     schema = StructType(
         [StructField("payload", StringType()), StructField("src", StringType())]
