@@ -207,6 +207,19 @@ def merge_into(
         # buckets the write needs no further shuffle
         clustered=table.buckets_aligned_with_keys,
     )
+    # Source repeatability contract: the batch is evaluated twice (bucket
+    # probe, then join/write). File/kafka-offset batches are repeatable by
+    # construction; a live JDBC query is not — if new rows appeared in a
+    # bucket the probe didn't see, committing them would APPEND next to
+    # live rows of the same PK. Fail loudly instead of corrupting; the
+    # orphaned files are reclaimed by vacuum().
+    stray = set(added) - {str(b) for b in affected}
+    if stray:
+        raise RuntimeError(
+            f"source changed between bucket probe and merge write "
+            f"(unexpected buckets {sorted(stray)}); snapshot/persist the "
+            f"source before merge_into"
+        )
     metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
                if k != "max_lsn"}
     max_lsn = obs.get.get("max_lsn")
@@ -259,10 +272,7 @@ def _append_only(
         else:
             cols.append(F.lit(None).cast(table.logical_schema[c].dataType).alias(c))
     prepared = source.select(*cols)
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in table.data_cols if c in prepared.columns]),
-        F.lit(table.num_buckets),
-    ).cast("int")
+    bucket = table.bucket_expr()  # content hash over data cols (no keys)
     obs = Observation("append")
     observed = prepared.observe(
         obs,

@@ -141,9 +141,19 @@ class CdcPipeline:
         from pyspark.sql import functions as F
 
         if lsn_bounds is None:
-            hi = events.agg(F.max(self.lsn_col)).collect()[0][0] or 0
-            step = max(1, (int(hi) + n_batches - 1) // n_batches)
-            lsn_bounds = [(i * step, min((i + 1) * step, int(hi))) for i in range(n_batches)]
+            row = events.agg(
+                F.min(self.lsn_col).alias("lo"), F.max(self.lsn_col).alias("hi")
+            ).collect()[0]
+            if row["hi"] is None:
+                return [self.apply_batch(events, batch_id="replay-empty")]
+            lo0, hi = int(row["lo"]) - 1, int(row["hi"])  # (lo, hi] ranges
+            span = hi - lo0
+            step = max(1, (span + n_batches - 1) // n_batches)
+            lsn_bounds = [
+                (lo0 + i * step, min(lo0 + (i + 1) * step, hi))
+                for i in range(n_batches)
+                if lo0 + i * step < hi
+            ]
         out = []
         for i, (lo, hi) in enumerate(lsn_bounds):
             batch = events.where(
@@ -211,11 +221,17 @@ class MultiStreamPipeline:
         self.stream_col = stream_col
 
     def apply_batch(self, df: DataFrame, batch_id: Any = None) -> dict[str, dict]:
-        results = {}
-        for stream, pipe in self.pipelines.items():
-            part = df.where(df[self.stream_col] == stream)
-            results[stream] = pipe.apply_batch(part, batch_id=batch_id)
-        return results
+        # persist once — each stream's merge triggers multiple jobs and
+        # would otherwise re-scan the whole micro-batch per stream
+        df = df.persist()
+        try:
+            results = {}
+            for stream, pipe in self.pipelines.items():
+                part = df.where(df[self.stream_col] == stream)
+                results[stream] = pipe.apply_batch(part, batch_id=batch_id)
+            return results
+        finally:
+            df.unpersist()
 
     def run_file_stream(self, events_path: str, checkpoint_dir: str, **kw):
         spark = next(iter(self.pipelines.values())).table.spark

@@ -130,6 +130,42 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delim: str = " ",
+) -> DataFrame:
+    """Exact token-set Jaccard computed ONLY for the given (id_a, id_b)
+    pairs — the verify stage of LSH. Work is O(|pairs| x doc length), not
+    O(n^2): the word sets join against the candidate list first."""
+    ws = word_set(df, id_col, text_col, delim)
+    sizes = ws.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    wa = ws.select(F.col(id_col).alias("id_a"), F.col("w"))
+    wb = ws.select(F.col(id_col).alias("__idb"), F.col("w").alias("__wb"))
+    shared = (
+        pairs.join(wa, "id_a")
+        .join(wb, (F.col("id_b") == F.col("__idb")) & (F.col("w") == F.col("__wb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -141,12 +177,12 @@ def minhash_dedup_pairs(
     delim: str = " ",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures → band buckets → candidate
-    pairs → exact Jaccard verify ≥ threshold."""
+    pairs → exact Jaccard verify ≥ threshold, computed only over the
+    candidates (the whole point of LSH — no O(n^2) verify)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, delim=delim)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    exact = token_jaccard_pairs(df, id_col, text_col, threshold=threshold, delim=delim)
-    # verify candidates only (scale path); inner join keeps LSH recall visible
-    return cands.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    verified = jaccard_for_pairs(cands, df, id_col, text_col, delim=delim)
+    return verified.where(F.col("jaccard") >= threshold)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, delim: str = " ") -> DataFrame:

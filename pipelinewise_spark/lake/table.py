@@ -241,8 +241,14 @@ class LakeTable:
         Must stay stable across the table's lifetime (physical layout key).
         Uses ``F.hash`` (murmur3, seed 42) — the identical hash family
         Spark's HashPartitioning applies to shuffle keys, which is what
-        makes the shuffle-free aligned write possible."""
+        makes the shuffle-free aligned write possible.
+
+        Keyless (append-only) tables have no bucket columns; their rows
+        bucket by a content hash over the data columns so compaction /
+        overwrite still distribute evenly."""
         use = cols if cols is not None else self.bucket_cols
+        if not use:
+            use = self.data_cols
         exprs = [F.col(c) if isinstance(c, str) else c for c in use]
         return F.pmod(F.hash(*exprs), F.lit(self.num_buckets)).cast("int")
 
@@ -486,7 +492,14 @@ class LakeTable:
                 phys_names.add(ph)
             elif act["action"] == "version_column":
                 old = by_logical[act["name"]]
-                old["logical"] = act["versioned_name"]
+                vname = act["versioned_name"]
+                # two type changes within the same minute would collide on
+                # the timestamp suffix — disambiguate deterministically
+                n = 2
+                while vname in by_logical:
+                    vname = f"{act['versioned_name']}_{n}"
+                    n += 1
+                old["logical"] = vname
                 by_logical.pop(act["name"])
                 by_logical[old["logical"]] = old
                 ph = act["name"]
@@ -504,14 +517,18 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def vacuum(self, *, keep_versions: int = 1) -> dict:
+    def vacuum(self, *, keep_versions: int = 1, min_age_sec: float = 3600.0) -> dict:
         """Garbage-collect data files not referenced by the newest
         ``keep_versions`` manifests, stale write-temp dirs, and the
-        superseded manifests themselves. Crash-safe by construction: a
-        crashed writer leaves only unreferenced files, which vacuum
-        reclaims; readers of retained versions are unaffected
-        (reference analog: temp-table DROP cleanup,
-        ``fastsync/partialsync/utils.py:74-78``)."""
+        superseded manifests themselves (reference analog: temp-table
+        DROP cleanup, ``fastsync/partialsync/utils.py:74-78``).
+
+        ``min_age_sec`` protects concurrent IN-FLIGHT writers: a writer
+        that has moved files into ``data/`` but not yet committed its
+        manifest would otherwise lose them. Only unreferenced files/tmp
+        dirs older than the grace period are reclaimed — the same
+        orphan-GC discipline Iceberg's remove_orphan_files uses. Set to 0
+        only when no other writer can be active."""
         d = os.path.join(self.path, MANIFEST_DIR)
         names = sorted(
             n for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
@@ -524,15 +541,20 @@ class LakeTable:
             for fl in m["buckets"].values():
                 referenced.update(fl)
         removed_files = 0
+        now = time.time()
         data_dir = os.path.join(self.path, DATA_DIR)
         for fn in os.listdir(data_dir):
             rel = os.path.join(DATA_DIR, fn)
-            if rel not in referenced:
-                os.unlink(os.path.join(data_dir, fn))
+            full = os.path.join(data_dir, fn)
+            if rel not in referenced and now - os.path.getmtime(full) >= min_age_sec:
+                os.unlink(full)
                 removed_files += 1
         for entry in os.listdir(self.path):
-            if entry.startswith("_tmp-write-"):
-                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+            full = os.path.join(self.path, entry)
+            if entry.startswith("_tmp-write-") and (
+                now - os.path.getmtime(full) >= min_age_sec
+            ):
+                shutil.rmtree(full, ignore_errors=True)
         for name in drop:
             os.unlink(os.path.join(d, name))
         return {

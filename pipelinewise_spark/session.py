@@ -23,10 +23,16 @@ def get_spark(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     if shuffle_partitions is None:
-        # local[N] → N shuffle partitions; at cluster scale this would be
-        # sized to ~2-3x total cores / target partition bytes.
-        inner = master.split("[")[-1].rstrip("]")
-        shuffle_partitions = 32 if inner in ("*", "") else max(int(inner), 1)
+        # local[N] → N shuffle partitions; for cluster masters (yarn,
+        # spark://, k8s) fall back to Spark's default — size it to ~2-3x
+        # total cores / target partition bytes via explicit argument.
+        inner = master.split("[")[-1].rstrip("]") if master.startswith("local") else ""
+        try:
+            shuffle_partitions = max(int(inner), 1) if inner not in ("*", "") else 32
+        except ValueError:
+            shuffle_partitions = 32
+        if not master.startswith("local"):
+            shuffle_partitions = 200
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -110,9 +110,15 @@ def encode_records(
     record = F.struct(
         F.col(lsn_col).cast("long").alias(LSN_FIELD),
         *[F.col(c).alias(c) for c in payload_cols],
+        # MUST be non-null for every D (to_json drops null fields and the
+        # decoder derives op from this field's presence) — fall back to
+        # the epoch sentinel when time_extracted is missing
         F.when(
             F.col(op_col) == "D",
-            F.date_format(F.col("time_extracted"), ts_pattern),
+            F.coalesce(
+                F.date_format(F.col("time_extracted"), ts_pattern),
+                F.lit("1970-01-01T00:00:00.000000+00:00"),
+            ),
         ).alias(DELETED_FIELD),
     )
     line = F.to_json(

@@ -22,9 +22,28 @@ Reference mappings:
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def sql_literal(v: Any) -> str:
+    """Render a Python value as a safe SQL literal (quotes escaped,
+    datetimes as standard TIMESTAMP/DATE literals) — ``repr`` is neither
+    valid SQL for datetimes nor injection-safe for strings."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
 
 
 def snapshot_reader(
@@ -68,7 +87,7 @@ def incremental_reader(
     """Key-based incremental scan: the bookmark predicate is part of the
     pushed-down query (``WHERE key >= bookmark``, inclusive like the
     reference so equal-key ties replay and upsert idempotently)."""
-    query = f"SELECT * FROM {table} WHERE {replication_key} >= {bookmark!r}"
+    query = f"SELECT * FROM {table} WHERE {replication_key} >= {sql_literal(bookmark)}"
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -94,7 +113,8 @@ def range_reader(
     """Partial-sync ranged export (``fastsync/partialsync/utils.py:36-78``):
     ``WHERE column BETWEEN start AND end`` — feeds the same MERGE path."""
     query = (
-        f"SELECT * FROM {table} WHERE {column} BETWEEN {start!r} AND {end!r}"
+        f"SELECT * FROM {table} WHERE {column} "
+        f"BETWEEN {sql_literal(start)} AND {sql_literal(end)}"
     )
     reader = (
         spark.read.format("jdbc")

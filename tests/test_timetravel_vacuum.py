@@ -54,7 +54,7 @@ def test_vacuum_reclaims_unreferenced(spark, tmp_path):
     # orphan tmp dir from a "crashed" writer
     os.makedirs(os.path.join(table.path, "_tmp-write-deadbeef"), exist_ok=True)
 
-    stats = table.vacuum(keep_versions=1)
+    stats = table.vacuum(keep_versions=1, min_age_sec=0)
     assert stats["removed_files"] > 0
     assert stats["removed_manifests"] >= 2  # v0 create + v1 superseded
     assert len(os.listdir(data_dir)) < n_files_before
