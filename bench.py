@@ -57,7 +57,8 @@ def _force(df):
 
 
 def cdc_apply_bench(
-    spark, events_path: str, *, num_buckets: int = 64, singer_decode: bool = False
+    spark, events_path: str, *, num_buckets: int = 64,
+    singer_decode: bool = False, mode: str = "cow",
 ) -> dict:
     """The headline: binlog-shaped change stream → LakeTable upsert,
     3 micro-batches, end-to-end (dedup + merge + commit).
@@ -93,9 +94,11 @@ def cdc_apply_bench(
         spark, os.path.join(tdir, "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
         num_buckets=num_buckets,
     )
-    pipe = CdcPipeline(table, stream="bench")
+    pipe = CdcPipeline(table, stream="bench", mode=mode)
     t0 = time.perf_counter()
     pipe.replay(events, n_batches=3)
+    if mode == "mor":
+        table.compact()  # fold deltas inside the measured window (fair)
     dt = time.perf_counter() - t0
     rows = table.read().count()
     shutil.rmtree(tdir, ignore_errors=True)
@@ -209,9 +212,11 @@ def run_default() -> dict:
     t_total0 = time.perf_counter()
     cdc = cdc_apply_bench(spark, events_path)
     skew = cdc_apply_bench(spark, skew_path)
+    mor = cdc_apply_bench(spark, events_path, mode="mor")
     queries = {
         "cdc_apply": round(cdc["sec"], 3),
         "cdc_apply_skewed": round(skew["sec"], 3),
+        "cdc_apply_mor": round(mor["sec"], 3),
     }
     queries.update(query_benches(spark))
     total = time.perf_counter() - t_total0

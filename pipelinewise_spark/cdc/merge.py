@@ -62,6 +62,7 @@ def merge_into(
     pipeline_id: str = "default",
     stream: str = "default",
     filter_applied_lsn: bool = True,
+    mode: str = "cow",
 ) -> dict:
     """Apply one change batch. Returns the metrics dict that was also
     persisted into the manifest summary. Idempotent per (pipeline_id,
@@ -73,7 +74,18 @@ def merge_into(
     window (``binlog.py:405-427``, ``logical_replication.py:575-576``) and
     the already-applied prefix must be a no-op. This is essential with
     hard deletes (a replayed pre-delete upsert must not resurrect a
-    deleted row) and is a cheap pushed-down predicate on the source."""
+    deleted row) and is a cheap pushed-down predicate on the source.
+
+    ``mode``:
+    - ``"cow"`` (default) — copy-on-write: read affected buckets, full
+      merge, rewrite. Read-optimal; write cost O(affected buckets).
+    - ``"mor"`` — merge-on-read: append the deduped batch as DELTA files
+      (O(batch) commit, NO target read — the small-batch/huge-table
+      regime where CoW write amplification dominates). Reads resolve
+      last-per-key across base+delta; ``LakeTable.compact`` folds deltas
+      back (and physically removes hard-deleted rows, the reference's
+      post-load DELETE). Soft/hard delete is the table property
+      ``soft_delete`` in MoR (resolution-time decision)."""
     if batch_id is not None and batch_id in table.applied_batch_ids(pipeline_id):
         return {"skipped": True, "batch_id": batch_id}
 
@@ -123,6 +135,37 @@ def merge_into(
         .cast("timestamp")
         .alias(SDC_DELETED_AT),
     ).withColumn("__s_exists", F.lit(True))
+
+    if mode == "mor":
+        prepared = src.drop("__op", "__s_exists").withColumn(
+            "_bucket", table.bucket_expr()
+        )
+        obs = Observation("mor")
+        observed = prepared.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.max(LSN_COL).alias("max_lsn"),
+        )
+        delta_added = table.write_bucket_files(
+            observed, clustered=table.buckets_aligned_with_keys
+        )
+        max_lsn = obs.get.get("max_lsn")
+        prev = table.bookmarks.get(stream, {}).get("lsn")
+        new_lsn = max(
+            int(max_lsn) if max_lsn is not None else -1,
+            int(prev) if prev is not None else -1,
+        )
+        metrics = {"rows": int(obs.get["rows"]), "mode": "mor"}
+        table.commit(
+            delta_added=delta_added,
+            bookmarks={stream: {"lsn": new_lsn}} if new_lsn >= 0 else None,
+            batch_id=batch_id,
+            pipeline_id=pipeline_id,
+            summary={"operation": "merge_mor", "metrics": metrics},
+        )
+        metrics.update(batch_id=batch_id, max_lsn=max_lsn)
+        return metrics
+
     # Affected-bucket probe runs on the RAW (pre-dedup) batch: dedup
     # keeps ≥1 row per key so the bucket sets are identical, and the
     # raw probe is a cheap partial-distinct of small ints with no

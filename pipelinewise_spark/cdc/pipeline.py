@@ -45,6 +45,7 @@ class CdcPipeline:
         auto_evolve: bool = False,
         compact_every: int | None = None,
         max_files_per_bucket: int = 4,
+        mode: str = "cow",
     ):
         self.table = table
         self.stream = stream
@@ -56,6 +57,7 @@ class CdcPipeline:
         self.auto_evolve = auto_evolve
         self.compact_every = compact_every
         self.max_files_per_bucket = max_files_per_bucket
+        self.mode = mode
         self.history: list[dict] = []
 
     # ------------------------------------------------------------- batching
@@ -90,6 +92,7 @@ class CdcPipeline:
             batch_id=batch_id,
             pipeline_id=self.pipeline_id,
             stream=self.stream,
+            mode=self.mode,
         )
         self.history.append(metrics)
         if (

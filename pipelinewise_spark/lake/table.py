@@ -153,6 +153,7 @@ class LakeTable:
             ),
             "num_buckets": int(num_buckets),
             "buckets": {},
+            "deltas": {},
             "bookmarks": {},
             "applied_batch_ids": {},
             "summary": {},
@@ -258,34 +259,66 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         version: int | None = None,
+        *,
+        resolve_deltas: bool = True,
+        include_tombstones: bool = False,
     ) -> DataFrame:
         """Read a snapshot (optionally only some buckets, optionally a
         historical ``version`` — time travel: every manifest is immutable
         and fully describes its snapshot). Missing physical columns
         (pre-evolution files) surface as NULL — the same backfill-as-null
         the reference gets from ``ALTER TABLE ADD COLUMN``
-        (``db_sync.py:539-549``)."""
+        (``db_sync.py:539-549``).
+
+        Merge-on-read: if the manifest carries delta files (see
+        ``cdc/merge.merge_into(mode='mor')``), the read resolves
+        last-per-key by LSN across base+delta and drops rows whose winning
+        record is a tombstone (unless ``include_tombstones`` /
+        soft-delete property keeps them) — exactly the merge the CoW path
+        applies at write time, deferred to read/compaction."""
         manifest = (
             self.manifest if version is None else self.load_manifest(version)
         )
         bucket_map = manifest["buckets"]
+        delta_map = manifest.get("deltas", {})
         keys = (
-            [str(b) for b in buckets] if buckets is not None else list(bucket_map)
+            [str(b) for b in buckets]
+            if buckets is not None
+            else sorted(set(bucket_map) | set(delta_map))
         )
-        files = [
-            os.path.join(self.path, rel)
-            for k in keys
-            for rel in bucket_map.get(k, [])
-        ]
         fields = manifest["fields"]
         logical = _struct_from_fields([(f["logical"], f["type"]) for f in fields])
-        if not files:
-            return self.spark.createDataFrame([], logical)
         physical = _struct_from_fields([(f["physical"], f["type"]) for f in fields])
-        df = self.spark.read.schema(physical).parquet(*files)
-        return df.select(
-            *[F.col(f["physical"]).alias(f["logical"]) for f in fields]
-        )
+
+        def _load(file_map) -> DataFrame | None:
+            files = [
+                os.path.join(self.path, rel)
+                for k in keys
+                for rel in file_map.get(k, [])
+            ]
+            if not files:
+                return None
+            df = self.spark.read.schema(physical).parquet(*files)
+            return df.select(
+                *[F.col(f["physical"]).alias(f["logical"]) for f in fields]
+            )
+
+        base = _load(bucket_map)
+        delta = _load(delta_map) if resolve_deltas else None
+        if base is None and delta is None:
+            return self.spark.createDataFrame([], logical)
+        if delta is None:
+            return base
+        merged = delta if base is None else base.unionByName(delta)
+        if self.key_cols:
+            from pipelinewise_spark.cdc.dedup import latest_per_key
+
+            merged = latest_per_key(merged, self.key_cols, lsn_col=LSN_COL)
+        if not include_tombstones and not manifest["properties"].get(
+            "soft_delete", False
+        ):
+            merged = merged.where(F.col(SDC_DELETED_AT).isNull())
+        return merged.select(*[f["logical"] for f in fields])
 
     def to_df(self) -> DataFrame:
         return self.read()
@@ -354,6 +387,7 @@ class LakeTable:
         self,
         *,
         added: dict[str, list[str]] | None = None,
+        delta_added: dict[str, list[str]] | None = None,
         replaced_buckets: list[int] | None = None,
         overwrite_all: bool = False,
         bookmarks: dict | None = None,
@@ -385,6 +419,13 @@ class LakeTable:
                 new_buckets[str(b)] = list(fl)
             else:
                 new_buckets[str(b)] = new_buckets[str(b)] + list(fl)
+        # deltas: base rewrite of a bucket folds its deltas (the rewrite
+        # read resolved them); new delta files append
+        new_deltas = {} if overwrite_all else dict(m.get("deltas", {}))
+        for b in replaced_buckets or []:
+            new_deltas.pop(str(b), None)
+        for b, fl in (delta_added or {}).items():
+            new_deltas[str(b)] = new_deltas.get(str(b), []) + list(fl)
         bms = dict(m["bookmarks"])
         for stream, bm in (bookmarks or {}).items():
             bms[stream] = {**bms.get(stream, {}), **bm}
@@ -393,11 +434,12 @@ class LakeTable:
             abi.setdefault(pipeline_id, [])
             if batch_id not in abi[pipeline_id]:
                 abi[pipeline_id].append(batch_id)
-        lineage = self._file_lineage(added or {})
+        lineage = self._file_lineage({**(added or {}), **(delta_added or {})})
         m.update(
             version=self.version + 1,
             created_at=time.time(),
             buckets=new_buckets,
+            deltas=new_deltas,
             bookmarks=bms,
             applied_batch_ids=abi,
             summary={
@@ -540,6 +582,8 @@ class LakeTable:
                 m = json.load(fh)
             for fl in m["buckets"].values():
                 referenced.update(fl)
+            for fl in m.get("deltas", {}).values():
+                referenced.update(fl)
         removed_files = 0
         now = time.time()
         data_dir = os.path.join(self.path, DATA_DIR)
@@ -564,14 +608,21 @@ class LakeTable:
         }
 
     def compact(self, max_files_per_bucket: int = 1) -> dict | None:
-        """Rewrite buckets whose file chains grew past the threshold.
-        At scale this is the background optimize job; here it keeps read
-        amplification bounded after many small merges."""
-        todo = [
-            int(b)
-            for b, fl in self.manifest["buckets"].items()
-            if len(fl) > max_files_per_bucket
-        ]
+        """Rewrite buckets whose file chains grew past the threshold OR
+        that carry merge-on-read deltas (resolving them into the base —
+        at which point hard-deleted tombstones are physically removed,
+        the reference's post-load DELETE, ``db_sync.py:493-497``).
+        At scale this is the background optimize job; it bounds read
+        amplification after many small merges."""
+        deltas = self.manifest.get("deltas", {})
+        todo = sorted(
+            {
+                int(b)
+                for b, fl in self.manifest["buckets"].items()
+                if len(fl) > max_files_per_bucket
+            }
+            | {int(b) for b, fl in deltas.items() if fl}
+        )
         if not todo:
             return None
         df = self.read(buckets=todo).withColumn("_bucket", self.bucket_expr())
