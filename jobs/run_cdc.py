@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
             TRANSCRIPT_SCHEMA,
             [] if args.append_only else TRANSCRIPT_KEY,
             num_buckets=args.num_buckets,
+            # soft-delete is a table-level property (single source of
+            # truth for merge AND read tombstone visibility)
+            properties={"soft_delete": bool(args.soft_delete)},
         )
 
     transform = None

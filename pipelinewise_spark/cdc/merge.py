@@ -57,7 +57,7 @@ def merge_into(
     *,
     op_col: str = "op",
     lsn_col: str = "lsn",
-    soft_delete: bool = False,
+    soft_delete: bool | None = None,
     batch_id: Any = None,
     pipeline_id: str = "default",
     stream: str = "default",
@@ -88,6 +88,21 @@ def merge_into(
       ``soft_delete`` in MoR (resolution-time decision)."""
     if batch_id is not None and batch_id in table.applied_batch_ids(pipeline_id):
         return {"skipped": True, "batch_id": batch_id}
+
+    # Soft-delete is a TABLE-level mode, not a per-call choice: the
+    # read-time tombstone filter keys off the 'soft_delete' property, so a
+    # per-call value that contradicts it would write tombstones that
+    # silently vanish (or hard-deletes that resurrect). Single source of
+    # truth = the property; an explicit matching param stays allowed.
+    prop_soft = bool(table.manifest["properties"].get("soft_delete", False))
+    if soft_delete is None:
+        soft_delete = prop_soft
+    elif soft_delete != prop_soft:
+        raise ValueError(
+            f"soft_delete={soft_delete} contradicts the table property "
+            f"soft_delete={prop_soft}; set properties={{'soft_delete': "
+            f"{soft_delete}}} at LakeTable.create instead"
+        )
 
     key_cols = table.key_cols
     data_cols = table.data_cols

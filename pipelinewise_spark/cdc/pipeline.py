@@ -38,7 +38,7 @@ class CdcPipeline:
         *,
         stream: str = "default",
         pipeline_id: str = "default",
-        soft_delete: bool = False,
+        soft_delete: bool | None = None,
         op_col: str = "op",
         lsn_col: str = "lsn",
         transform: Callable[[DataFrame], DataFrame] | None = None,
@@ -118,8 +118,11 @@ class CdcPipeline:
 
         ctrl = protocol.collect_control_messages(lines)
         payload = None
+        # strict stream match: a batch carrying only ANOTHER stream's
+        # SCHEMA must not evolve this table with foreign columns — fall
+        # back to the table's own schema instead
         for msg in ctrl["SCHEMA"]:
-            if msg.get("stream") == self.stream or len(ctrl["SCHEMA"]) == 1:
+            if msg.get("stream") == self.stream:
                 payload = jsonschema_to_struct(msg["schema"])
                 reconcile(self.table, payload)
         if payload is None:

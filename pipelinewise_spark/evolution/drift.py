@@ -72,16 +72,22 @@ def reconcile(
 ) -> list[dict]:
     """Diff + apply. Versioning a primary-key column would break the merge
     identity, so it is rejected unless explicitly allowed (the reference
-    has the same hazard — it just corrupts silently)."""
+    has the same hazard — it just corrupts silently). The same guard
+    covers BUCKET columns (which may differ from key_cols): versioning one
+    rebinds bucket_expr to the fresh NULL-backfilled physical column,
+    silently re-assigning every existing row's bucket — later merges would
+    probe/replace the wrong buckets and duplicate keys across buckets."""
     actions = diff_schemas(table, incoming, now=now)
+    protected = set(table.key_cols) | set(table.bucket_cols)
     for a in actions:
         if (
             a["action"] == "version_column"
-            and a["name"] in table.key_cols
+            and a["name"] in protected
             and not allow_key_type_change
         ):
+            kind = "key" if a["name"] in table.key_cols else "bucket"
             raise ValueError(
-                f"type change on key column {a['name']!r} requires "
+                f"type change on {kind} column {a['name']!r} requires "
                 "allow_key_type_change=True"
             )
     if actions:

@@ -5,11 +5,15 @@ set, JVM-side ``zip_with``/``aggregate`` arithmetic (no Python). Scale
 path: random-hyperplane LSH bucketing so candidate generation is an
 equi-join on bucket signatures; at 100 TB the bucketed variant prunes the
 candidate set by ~2^num_planes before any dot product is computed.
-Hyperplanes are deterministic (xxhash64-seeded ±1 components), so results
-are reproducible across cluster sizes.
+Hyperplanes are deterministic (md5-seeded ±1 components precomputed
+driver-side and baked into the plan as literals), so results are
+reproducible across cluster sizes AND engines — the DuckDB oracle embeds
+the identical sign arrays.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -95,21 +99,28 @@ def similar_pairs(
     )
 
 
+def plane_signs(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: sign of plane ``p``,
+    dimension ``d`` is the parity of the first md5 byte of
+    ``"{seed}|{p}|{d}"``. Computed driver-side once (literals in the plan
+    — zero per-row cost) and reusable verbatim by any SQL oracle."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def hyperplane_bucket(vec, dim: int, num_planes: int = 8, seed: int = 42):
     """LSH bucket id: sign pattern of the vector against ``num_planes``
-    deterministic ±1 hyperplanes. Pure expressions: plane p component d is
-    sign(xxhash64(seed, p, d))."""
+    deterministic ±1 hyperplanes (see :func:`plane_signs`)."""
     bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        comps = F.array(
-            *[
-                F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)), 2) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
+    for p, signs in enumerate(plane_signs(dim, num_planes, seed)):
+        comps = F.array(*[F.lit(s) for s in signs])
         s = dot(vec, comps)
         bucket = bucket + F.when(s > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
@@ -201,7 +212,10 @@ def ivf_topk(
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "label", cosine(F.col("qv"), F.col("cv")).alias("csim"))
+        # rounded before ranking so the probe order is reproducible across
+        # engines/summation orders (oracle parity)
+        .select("query_id", "qv", "label",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim"))
         .withColumn("prank", F.row_number().over(probe_w))
         .where(F.col("prank") <= n_probe)
         .select("query_id", "qv", "label")

@@ -186,15 +186,22 @@ def minhash_dedup_pairs(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, delim: str = " ") -> DataFrame:
-    """64-bit SimHash: per token take xxhash64, add ±1 per bit position
-    weighted by presence, sign → bit. Implemented as 64 conditional sums
-    over the exploded token set — heavy but pure-JVM; used for
-    hamming-distance near-dup where MinHash recall is too coarse."""
-    ws = word_set(df, id_col, text_col, delim)
-    h = F.xxhash64(F.col("w"))
+    """64-bit SimHash: per token take a 64-bit hash, add ±1 per bit
+    position weighted by presence, sign → bit. Implemented as 64
+    conditional sums over the exploded token set — heavy but pure-JVM;
+    used for hamming-distance near-dup where MinHash recall is too coarse.
+
+    The token hash is the first 16 hex nibbles of md5 (bit ``b`` = bit
+    ``b % 4`` of nibble ``b // 4``) — md5 rather than xxhash64 so any SQL
+    engine reproduces the signature exactly (same portability trick as
+    :func:`minhash_signatures`)."""
+    ws = word_set(df, id_col, text_col, delim).withColumn(
+        "__h", F.md5(F.col("w"))
+    )
     aggs = []
     for bit in range(64):
-        bitval = F.shiftright(h, bit).bitwiseAND(F.lit(1))
+        nibble = F.conv(F.substring(F.col("__h"), bit // 4 + 1, 1), 16, 10).cast("int")
+        bitval = F.shiftright(nibble, bit % 4).bitwiseAND(F.lit(1))
         aggs.append(F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"b{bit}"))
     sums = ws.groupBy(id_col).agg(*aggs)
     sig = None

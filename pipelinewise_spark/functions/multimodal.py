@@ -87,6 +87,20 @@ def extract_features(assets: DataFrame, *, dim: int = 8, use_real_decode: bool =
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def features_hex_str(content_hash, dim: int = 8):
+    """Contract-surface serialization of the deterministic fake features:
+    byte i of the sha256 digest / 255, formatted ``%.6f`` and comma-joined.
+    Derived from the hex digest with integer math (``conv`` base-16) so the
+    value is engine-portable — the DuckDB oracle reproduces it exactly,
+    with no float32 representation drift (the typed ``features`` array
+    stays float32 and is validated in pytest instead)."""
+    parts = []
+    for i in range(dim):
+        byte = F.conv(F.substring(content_hash, 2 * i + 1, 2), 16, 10).cast("int")
+        parts.append(F.format_string("%.6f", byte / F.lit(255.0)))
+    return F.concat_ws(",", *parts)
+
+
 def generate_fake_assets(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic synthetic binary assets for testing the plumbing."""
     df = spark.range(0, n, 1, partitions)

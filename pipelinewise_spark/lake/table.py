@@ -53,6 +53,14 @@ from pyspark.sql.types import StructType
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 FORMAT_VERSION = 1
+# Exactly-once replay guard window: the manifest keeps the most recent N
+# applied batch ids per pipeline so manifest size stays O(1) over a
+# long-running stream (millions of micro-batches would otherwise make
+# every commit rewrite an ever-growing list). Replays older than the
+# window are still no-ops via the committed LSN bookmark filter
+# (cdc/merge.py filter_applied_lsn) — the id set only needs to cover the
+# reorder window of the streaming engine, which is far below 1024.
+MAX_APPLIED_BATCH_IDS = 1024
 
 # Engine-added metadata columns, mirroring the reference's Singer metadata
 # (``target_postgres/__init__.py:45-70`` adds _sdc_extracted_at,
@@ -308,12 +316,17 @@ class LakeTable:
         if base is None and delta is None:
             return self.spark.createDataFrame([], logical)
         if delta is None:
-            return base
-        merged = delta if base is None else base.unionByName(delta)
-        if self.key_cols:
-            from pipelinewise_spark.cdc.dedup import latest_per_key
+            merged = base
+        else:
+            merged = delta if base is None else base.unionByName(delta)
+            if self.key_cols:
+                from pipelinewise_spark.cdc.dedup import latest_per_key
 
-            merged = latest_per_key(merged, self.key_cols, lsn_col=LSN_COL)
+                merged = latest_per_key(merged, self.key_cols, lsn_col=LSN_COL)
+        # tombstone visibility is decided by the table property alone and
+        # applies uniformly to base-only and base+delta reads (a CoW table
+        # without the property never writes tombstones, so the pushed-down
+        # IS NULL predicate is free there)
         if not include_tombstones and not manifest["properties"].get(
             "soft_delete", False
         ):
@@ -434,6 +447,7 @@ class LakeTable:
             abi.setdefault(pipeline_id, [])
             if batch_id not in abi[pipeline_id]:
                 abi[pipeline_id].append(batch_id)
+            abi[pipeline_id] = abi[pipeline_id][-MAX_APPLIED_BATCH_IDS:]
         lineage = self._file_lineage({**(added or {}), **(delta_added or {})})
         m.update(
             version=self.version + 1,

@@ -192,9 +192,9 @@ def s8_lsn(spark, sf):
     "a3_batch_metrics",
     f"""
     SELECT event_id // 1000 AS batch_id,
-           sum(CASE WHEN {OP_SQL} = 'I' THEN 1 ELSE 0 END) AS n_inserts,
-           sum(CASE WHEN {OP_SQL} = 'U' THEN 1 ELSE 0 END) AS n_updates,
-           sum(CASE WHEN {OP_SQL} = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+           sum(CASE WHEN {OP_SQL} = 'I' THEN 1 ELSE 0 END)::BIGINT AS n_inserts,
+           sum(CASE WHEN {OP_SQL} = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updates,
+           sum(CASE WHEN {OP_SQL} = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
            count(*) AS n_events
     FROM events GROUP BY 1
     """,
@@ -680,35 +680,203 @@ def text_bpeish(spark, sf):
     )
 
 
-# Non-SQL-expressible / Spark-only operators → rows-only driver check
-@q("ann_cosine_topk")
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql('q.qv', 'c.embedding::DOUBLE[]')}, 6) AS sim
+      FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
-@q("ann_lsh_topk")
+def _plane_sql(vec: str) -> str:
+    """LSH bucket id in DuckDB from the SAME driver-side sign constants
+    the Spark plan bakes in (ann.plane_signs — md5-derived, both engines
+    see identical literals)."""
+    terms = []
+    for p, signs in enumerate(ann.plane_signs(64, 6, 42)):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_plane_sql('embedding::DOUBLE[]')} AS bkt
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_cos_sql('q.qv', 'c.v')}, 6) AS sim
+      FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ann.lsh_topk(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64)
 
 
-@q("ann_ivf_topk")
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH ex AS (
+      SELECT label, u.idx - 1 AS idx, u.v::DOUBLE AS v
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS idx
+            FROM embeddings) u(label, v, idx)),
+    cents AS (
+      SELECT label, idx, round(avg(v), 6) AS cval FROM ex GROUP BY label, idx),
+    cvecs AS (
+      SELECT label, list(cval ORDER BY idx) AS cv FROM cents GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 8),
+    pr AS (
+      SELECT q.query_id, q.qv, c.label,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round({_cos_sql('q.qv', 'c.cv')}, 6) DESC, c.label
+             ) AS prank
+      FROM q, cvecs c),
+    probes AS (SELECT query_id, qv, label FROM pr WHERE prank <= 2),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             round({_cos_sql('p.qv', 'e.embedding::DOUBLE[]')}, 6) AS sim
+      FROM probes p JOIN embeddings e ON e.label = p.label
+      WHERE e.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, sim, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_probe=2)
 
 
-@q("dedup_simhash")
+_HEXD = "0123456789abcdef"
+
+
+def _nibble_sql(expr: str, pos: int) -> str:
+    return f"(strpos('{_HEXD}', substr({expr}, {pos}, 1)) - 1)"
+
+
+_SIMHASH_VOTES = ",\n        ".join(
+    f"sum(CASE WHEN (({_nibble_sql('md5(w)', bit // 4 + 1)} >> {bit % 4}) & 1) = 1"
+    f" THEN 1 ELSE -1 END) AS b{bit}"
+    for bit in range(64)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN b{bit} > 0 THEN "
+    + (str(2**bit) if bit < 63 else "(-9223372036854775807 - 1)")
+    + " ELSE 0 END)"
+    for bit in range(64)
+)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH ws AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id < 100)
+      WHERE w <> ''),
+    votes AS (
+      SELECT doc_id,
+        {_SIMHASH_VOTES}
+      FROM ws GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes
+    """,
+)
 def dedup_simhash(spark, sf):
     return dedup_text.simhash64(
         _t(spark, sf, "documents").where(F.col("doc_id") < 100), "doc_id", "text"
     )
 
 
-@q("multimodal_features")
+def _hex_byte_sql(h: str, i: int) -> str:
+    """DuckDB: byte ``i`` of a hex digest string as an integer."""
+    hx = "0123456789abcdef"
+    return (
+        f"((strpos('{hx}', substr({h}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + strpos('{hx}', substr({h}, {2 * i + 2}, 1)) - 1)"
+    )
+
+
+_MULTIMODAL_SQL = (
+    """
+    WITH assets AS (
+      SELECT i AS asset_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             'blob-' || i || repeat('x', CAST((i % 7) * 13 AS INT)) AS payload
+      FROM range(128) t(i)),
+    hashed AS (
+      SELECT asset_id, kind, length(payload)::BIGINT AS n_bytes,
+             sha256(payload) AS content_hash
+      FROM assets)
+    SELECT asset_id, kind, n_bytes, content_hash,
+           printf('"""
+    + ",".join(["%.6f"] * 8)
+    + "', "
+    + ", ".join(f"{_hex_byte_sql('content_hash', i)} / 255.0" for i in range(8))
+    + ") AS features_str FROM hashed"
+)
+
+
+@q("multimodal_features", _MULTIMODAL_SQL)
 def multimodal_features(spark, sf):
+    """Arrow-batched mapInPandas feature extraction (the real plumbing),
+    with the float features serialized portably for the contract surface —
+    the typed array<float> column stays on the library API and is
+    pytest-verified (a raw array column crashes the driver's pandas
+    canonicalizer)."""
     from pipelinewise_spark.functions import multimodal
 
     assets = multimodal.generate_fake_assets(spark, n=128)
-    return multimodal.extract_features(assets)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "content_hash",
+        multimodal.features_hex_str(F.col("content_hash"), dim=8).alias(
+            "features_str"
+        ),
+    )

@@ -38,13 +38,18 @@ def message_type(line_col=None):
     )
 
 
-def collect_control_messages(lines: DataFrame) -> dict:
-    """Driver-side collect of SCHEMA / STATE / ACTIVATE_VERSION lines
-    (control-plane, tiny). RECORD lines stay distributed."""
-    rows = (
-        lines.where(message_type().isin("SCHEMA", "STATE", "ACTIVATE_VERSION"))
-        .collect()
-    )
+def collect_control_messages(lines: DataFrame, *, include_state: bool = False) -> dict:
+    """Driver-side collect of SCHEMA / ACTIVATE_VERSION lines
+    (control-plane: O(streams), tiny). RECORD lines stay distributed.
+
+    STATE lines are NOT collected by default: they are informational here
+    (the bookmark committed in the LakeTable manifest is authoritative,
+    ``cdc/pipeline.py``) and at the reference's 1-per-1000 cadence a
+    10^10-event stream carries 10^7 of them — a driver collect would be a
+    scale bug. Use :func:`state_high_watermarks` for a distributed
+    aggregate, or ``include_state=True`` for bounded fixtures."""
+    types = ["SCHEMA", "ACTIVATE_VERSION"] + (["STATE"] if include_state else [])
+    rows = lines.where(message_type().isin(*types)).collect()
     out = {"SCHEMA": [], "STATE": [], "ACTIVATE_VERSION": []}
     for r in rows:
         msg = json.loads(r["value"])
@@ -52,16 +57,48 @@ def collect_control_messages(lines: DataFrame) -> dict:
     return out
 
 
+def state_high_watermarks(lines: DataFrame) -> DataFrame:
+    """Distributed reduction of STATE lines → one (stream, max_lsn) row per
+    stream. The shuffle carries only the partial-aggregated per-stream
+    maxima regardless of how many STATE lines the log holds."""
+    from pyspark.sql.types import LongType, MapType, StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    bm_type = MapType(
+        StringType(), _St([StructField("lsn", LongType(), True)])
+    )
+    return (
+        lines.where(message_type() == "STATE")
+        .select(
+            F.explode(
+                F.from_json(
+                    F.get_json_object("value", "$.value.bookmarks"), bm_type
+                )
+            ).alias("stream", "bm")
+        )
+        .groupBy("stream")
+        .agg(F.max("bm.lsn").alias("max_lsn"))
+    )
+
+
 def decode_records(
     lines: DataFrame,
     payload_schema: StructType | dict,
     *,
     stream: str | None = None,
+    validate: str = "permissive",
 ) -> DataFrame:
     """RECORD lines → change-event DataFrame (lsn, op, stream, payload...,
     time_extracted). Deletes are RECORDs whose ``_sdc_deleted_at`` is set
     (reference: ``binlog.py:519-543``); inserts and updates are both
-    upserts (``op = 'U'``) — the merge only distinguishes D."""
+    upserts (``op = 'U'``) — the merge only distinguishes D.
+
+    ``validate`` — T12, the reference's opt-in record validation
+    (``target_postgres/__init__.py:33-42``: reject, don't corrupt):
+    ``"permissive"`` (default) nulls unparseable fields; ``"strict"``
+    fails the job on the first malformed RECORD payload (FAILFAST)."""
+    if validate not in ("permissive", "strict"):
+        raise ValueError(f"validate must be permissive|strict, got {validate!r}")
     if isinstance(payload_schema, dict):
         payload_schema = jsonschema_to_struct(payload_schema)
     rec = lines.where(message_type() == "RECORD")
@@ -75,9 +112,12 @@ def decode_records(
         list(payload_schema.fields)
         + [StructField(LSN_FIELD, LongType()), StructField(DELETED_FIELD, StringType())]
     )
+    json_opts = {"mode": "FAILFAST"} if validate == "strict" else {}
     parsed = rec.select(
         F.get_json_object("value", "$.stream").alias("stream"),
-        F.from_json(F.get_json_object("value", "$.record"), envelope).alias("r"),
+        F.from_json(
+            F.get_json_object("value", "$.record"), envelope, json_opts
+        ).alias("r"),
         F.to_timestamp(F.get_json_object("value", "$.time_extracted")).alias(
             "time_extracted"
         ),

@@ -17,6 +17,7 @@ import json
 from typing import Any
 
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DataType,
     DecimalType,
@@ -38,7 +39,16 @@ def jsonschema_to_spark_type(prop: dict) -> DataType:
         types = [types]
     types = [t for t in types if t != "null"]
     fmt = prop.get("format")
-    if "object" in types or "array" in types:
+    if "array" in types:
+        # typed-items arrays keep their element type (reference maps 20+
+        # Postgres array types to typed-items JSON schemas,
+        # tap_postgres/discovery_utils.py:253-351); item-less arrays fall
+        # back to a JSON string like objects
+        items = prop.get("items")
+        if isinstance(items, dict) and items.get("type"):
+            return ArrayType(jsonschema_to_spark_type(items))
+        return StringType()
+    if "object" in types:
         return StringType()  # JSON-serialized (reference: jsonb/variant)
     if fmt in ("date-time", "date", "time"):
         # reference maps date-time→timestamp; date is canonicalized to
@@ -75,7 +85,12 @@ def spark_type_to_jsonschema(dt: DataType) -> dict:
         return {"type": ["null", "boolean"]}
     if s in ("timestamp", "timestamp_ntz", "date"):
         return {"type": ["null", "string"], "format": "date-time"}
-    if s.startswith(("array", "map", "struct")):
+    if isinstance(dt, ArrayType):
+        return {
+            "type": ["null", "array"],
+            "items": spark_type_to_jsonschema(dt.elementType),
+        }
+    if s.startswith(("map", "struct")):
         return {"type": ["null", "object"]}
     return {"type": ["null", "string"]}
 

@@ -29,10 +29,14 @@ def _mask_expr(kind: str, c: Column, col_name: str, data_type: str) -> Column:
     if kind == "HASH":
         return F.sha2(c.cast("string"), 256)
     if kind.startswith("HASH-SKIP-FIRST-"):
+        # reference keeps value[:n] (characters) but hashes
+        # value.encode('utf-8')[n:] (a BYTE slice) — transform.py:165-168;
+        # sha2 over the binary substring reproduces that byte-for-byte,
+        # including multibyte codepoints straddling the boundary
         n = int(kind.rsplit("-", 1)[1])
         return F.concat(
             F.substring(c, 1, n),
-            F.sha2(F.expr(f"substring({col_name}, {n + 1})"), 256),
+            F.sha2(F.substring(F.encode(c, "utf-8"), n + 1, 2147483647), 256),
         )
     if kind == "MASK-DATE":
         # keep year + time-of-day, reset month/day to 1 (transform.py:171-172)

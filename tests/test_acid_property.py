@@ -81,7 +81,8 @@ def test_random_sequences_match_oracle(spark, tmp_path_factory, events, soft, sp
     )
     path = tmp_path_factory.mktemp("prop")
     table = LakeTable.create(
-        spark, str(path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY, num_buckets=2
+        spark, str(path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY, num_buckets=2,
+        properties={"soft_delete": soft},
     )
     cut = min(split, len(rows))
     merge_into(table, df.where(F.col("lsn") <= cut), batch_id=0,

@@ -112,7 +112,10 @@ def test_resume_overlapping_replay(spark, tmp_path, events):
 
 
 def test_soft_delete_tombstones(spark, tmp_path, events):
-    table = _new_table(spark, tmp_path, "t5")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t5"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=8, properties={"soft_delete": True},
+    )
     merge_into(table, events, batch_id=0, soft_delete=True)
     exp = _expected(events, soft_delete=True)
     _assert_state_equal(table, exp, soft_delete=True)

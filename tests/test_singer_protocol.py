@@ -70,7 +70,9 @@ def test_singer_file_roundtrip_and_ingest(spark, tmp_path, events):
     lines = spark.read.text(path)
     ctrl = protocol.collect_control_messages(lines)
     assert len(ctrl["SCHEMA"]) == 1
-    assert ctrl["STATE"][-1]["value"]["bookmarks"]["public-transcripts"]["lsn"] == 140
+    assert ctrl["STATE"] == []  # STATE never collected driver-side by default
+    hwm = {r["stream"]: r["max_lsn"] for r in protocol.state_high_watermarks(lines).collect()}
+    assert hwm["public-transcripts"] == 140
 
     payload = sschema.jsonschema_to_struct(ctrl["SCHEMA"][0]["schema"])
     decoded = protocol.decode_records(lines, payload, stream="public-transcripts")
