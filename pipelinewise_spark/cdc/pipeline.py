@@ -222,11 +222,37 @@ class MultiStreamPipeline:
         pipelines: dict[str, CdcPipeline],
         *,
         stream_col: str = "stream",
+        snapshot_provider: Any = None,
     ):
         self.pipelines = pipelines
         self.stream_col = stream_col
+        #: Callable[[stream], (snapshot DataFrame, lsn0)] — the reference's
+        #: fastsync/singer routing (``cli/pipelinewise.py:172-368``): a
+        #: stream with NO committed bookmark goes through bulk initial load
+        #: (snapshot captured after lsn0) before its log tail applies;
+        #: bookmarked streams tail directly. None disables routing.
+        self.snapshot_provider = snapshot_provider
+
+    def _route_initial_loads(self) -> dict[str, dict]:
+        """Send every stream lacking a committed bookmark through
+        ``initial_load`` (atomic snapshot + lsn₀ bookmark in one commit).
+        Idempotent: once the bookmark exists the stream never routes again."""
+        from pipelinewise_spark.cdc.snapshot import initial_load
+
+        done = {}
+        if self.snapshot_provider is None:
+            return done
+        for stream, pipe in self.pipelines.items():
+            bm = pipe.table.bookmarks.get(stream, {}).get("lsn")
+            if bm is None:
+                snapshot, lsn0 = self.snapshot_provider(stream)
+                done[stream] = initial_load(
+                    pipe.table, snapshot, lsn0=lsn0, stream=stream
+                )
+        return done
 
     def apply_batch(self, df: DataFrame, batch_id: Any = None) -> dict[str, dict]:
+        self._route_initial_loads()
         # persist once — each stream's merge triggers multiple jobs and
         # would otherwise re-scan the whole micro-batch per stream
         df = df.persist()

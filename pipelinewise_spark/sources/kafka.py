@@ -17,6 +17,18 @@ import json
 from pyspark.sql import SparkSession
 
 
+def render_starting_offsets(topic: str, bookmark: dict) -> str:
+    """Reference bookmark ``{partition: offset}`` (``tap_kafka/sync.py:
+    80-93``) → Spark's ``startingOffsets`` JSON spec
+    ``{"topic": {"partition": offset}}``. Offsets are the NEXT offset to
+    consume, matching Spark's inclusive-start convention; partition keys
+    must be strings, offsets integers (-2 = earliest, -1 = latest)."""
+    return json.dumps(
+        {topic: {str(p): int(o) for p, o in bookmark.items()}},
+        sort_keys=True,
+    )
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -33,7 +45,7 @@ def kafka_stream_reader(
     ``starting_offsets`` accepts the reference's bookmark dict
     ({partition: offset}) and renders Spark's JSON offset spec."""
     if isinstance(starting_offsets, dict):
-        starting_offsets = json.dumps({topic: {str(p): o for p, o in starting_offsets.items()}})
+        starting_offsets = render_starting_offsets(topic, starting_offsets)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
