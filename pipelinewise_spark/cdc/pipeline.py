@@ -46,6 +46,7 @@ class CdcPipeline:
         compact_every: int | None = None,
         max_files_per_bucket: int = 4,
         mode: str = "cow",
+        validate: str = "permissive",
     ):
         self.table = table
         self.stream = stream
@@ -58,6 +59,9 @@ class CdcPipeline:
         self.compact_every = compact_every
         self.max_files_per_bucket = max_files_per_bucket
         self.mode = mode
+        #: T12 — record-validation mode for singer ingest ("permissive" |
+        #: "strict"); strict FAILFASTs on malformed RECORD payloads.
+        self.validate = validate
         self.history: list[dict] = []
 
     # ------------------------------------------------------------- batching
@@ -138,7 +142,9 @@ class CdcPipeline:
             self.history.append(
                 {"control": "activate_version", "versions": versions}
             )
-        decoded = protocol.decode_records(lines, payload, stream=self.stream)
+        decoded = protocol.decode_records(
+            lines, payload, stream=self.stream, validate=self.validate
+        )
         return self.apply_batch(decoded, batch_id=batch_id)
 
     def replay(self, events: DataFrame, *, n_batches: int = 1, lsn_bounds: list[tuple[int, int]] | None = None) -> list[dict]:

@@ -40,18 +40,10 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def token_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    threshold: float = 0.8,
-    delim: str = " ",
-) -> DataFrame:
-    """All pairs (a < b) with token-set Jaccard ≥ threshold. Exact but
-    quadratic in docs-per-shared-token — the verify stage of LSH, or a
-    standalone for small corpora. Columns: id_a, id_b, jaccard."""
-    ws = word_set(df, id_col, text_col, delim)
+def _set_jaccard_pairs(ws: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """All pairs (a < b) with set Jaccard ≥ threshold over (id, element)
+    rows. Exact but quadratic in docs-per-shared-element — the verify
+    stage of LSH, or a standalone for small corpora."""
     sizes = ws.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = ws.alias("a")
     b = ws.alias("b")
@@ -74,6 +66,48 @@ def token_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    delim: str = " ",
+) -> DataFrame:
+    """Word-token Jaccard near-dup pairs. Columns: id_a, id_b, jaccard."""
+    return _set_jaccard_pairs(word_set(df, id_col, text_col, delim), id_col, threshold)
+
+
+def ngram_set(df: DataFrame, id_col: str, text_col: str, *, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per doc (lowercased). Texts
+    shorter than ``n`` contribute their whole text as one shingle. Pure
+    expressions: sequence → transform → explode, no Python."""
+    norm = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Character n-gram (shingle) Jaccard near-dup pairs — finer-grained
+    than word tokens (robust to punctuation/compounding); the classic
+    shingling front-end of MinHash. Columns: id_a, id_b, jaccard."""
+    return _set_jaccard_pairs(ngram_set(df, id_col, text_col, n=n), id_col, threshold)
 
 
 def minhash_signatures(

@@ -87,6 +87,48 @@ def extract_features(assets: DataFrame, *, dim: int = 8, use_real_decode: bool =
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, *, frame_size: int = 32) -> DataFrame:
+    """Frame sampling over opaque media payloads: each asset expands to
+    ``ceil(len/frame_size)`` frames of (offset, n_bytes, sha256-of-slice).
+    Arrow-batched ``mapInPandas`` — cardinality-changing, one pass, no
+    shuffle; at deployment the byte-slice step is the ffmpeg/PIL frame
+    decode (stubbed here like :func:`real_decode`, the slicing and hashing
+    plumbing is real and oracle-checkable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "kind", "frame_idx", "offset", "n_bytes", "frame_hash"
+            )}
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload or b"")
+                for i, off in enumerate(range(0, max(len(data), 1), frame_size)):
+                    chunk = data[off:off + frame_size]
+                    out["asset_id"].append(aid)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(len(chunk))
+                    out["frame_hash"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
 def features_hex_str(content_hash, dim: int = 8):
     """Contract-surface serialization of the deterministic fake features:
     byte i of the sha256 digest / 255, formatted ``%.6f`` and comma-joined.

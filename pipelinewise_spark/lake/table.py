@@ -39,6 +39,7 @@ catalog CAS (Hive/Glue/REST); everything else is storage-agnostic.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -237,6 +238,24 @@ class LakeTable:
     def applied_batch_ids(self, pipeline_id: str) -> set:
         return set(self.manifest["applied_batch_ids"].get(pipeline_id, []))
 
+    def bucket_bytes(self, buckets: list[int] | None = None) -> int:
+        """On-disk bytes of the base files for the selected buckets —
+        driver-side O(files) stat, used by the merge's adaptive
+        storage-partitioned-join decision."""
+        keys = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else list(self.manifest["buckets"])
+        )
+        total = 0
+        for k in keys:
+            for rel in self.manifest["buckets"].get(k, []):
+                try:
+                    total += os.path.getsize(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+        return total
+
     @property
     def bucket_cols(self) -> list[str]:
         return self.manifest.get("bucket_cols") or self.key_cols
@@ -335,6 +354,92 @@ class LakeTable:
 
     def to_df(self) -> DataFrame:
         return self.read()
+
+    @contextlib.contextmanager
+    def scan_clustered(self, buckets: list[int] | None = None):
+        """Storage-partitioned read: yield a DataFrame whose SCAN declares
+        the table's hash-bucket layout to Catalyst —
+        ``HashPartitioning(bucket_cols, num_buckets)`` — so a merge join
+        keyed on the bucket columns does NOT re-shuffle the target side
+        (measured: 95% of the merge's shuffle bytes, scripts/
+        spj_experiment.py). This is the same contract Iceberg's
+        storage-partitioned joins / DSv2 ``KeyGroupedPartitioning`` expose;
+        here it needs no JVM connector:
+
+        1. the manifest's base files for the selected buckets are
+           hard-linked (same filesystem, O(files) driver-side) under a
+           temp dir using Spark's bucketed-file naming
+           (``part-...-..._NNNNN.parquet`` — bucket id parsed from the
+           name), and
+        2. registered as a session-scoped EXTERNAL ``CLUSTERED BY``
+           parquet table.
+
+        Sound because :meth:`write_bucket_files` buckets rows by
+        ``pmod(F.hash(bucket_cols), num_buckets)`` — the identical murmur3
+        ``partitionIdExpression`` Spark's own bucketed writer uses, so the
+        declared layout is the physical truth.
+
+        Yields ``None`` when the fast path does not apply: outstanding MoR
+        deltas in the selected buckets (their resolution shuffles anyway)
+        or no base files. The temp table and link dir are dropped on exit.
+
+        Trade-off (documented): the unshuffled side is outside AQE's
+        skew-join splitting. In the CDC merge the source is deduped to one
+        row per key pre-join, so join skew equals bucket-size skew —
+        bounded by the hash distribution, not by hot keys.
+        """
+        manifest = self.manifest
+        keys = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else sorted(manifest["buckets"])
+        )
+        delta_map = manifest.get("deltas", {})
+        if any(delta_map.get(k) for k in keys):
+            yield None
+            return
+        files = [
+            (int(k), rel)
+            for k in keys
+            for rel in manifest["buckets"].get(k, [])
+        ]
+        if not files:
+            yield None
+            return
+        fields = manifest["fields"]
+        token = uuid.uuid4().hex[:12]
+        link_dir = os.path.join(self.path, f"_tmp-spj-{token}")
+        os.makedirs(link_dir)
+        tbl = f"pw_spj_{token}"
+        try:
+            for i, (b, rel) in enumerate(files):
+                os.link(
+                    os.path.join(self.path, rel),
+                    os.path.join(link_dir, f"part-{i:05d}-{token}_{b:05d}.parquet"),
+                )
+            physical = _struct_from_fields(
+                [(f["physical"], f["type"]) for f in fields]
+            )
+            ddl = ", ".join(
+                f"`{fld.name}` {fld.dataType.simpleString()}"
+                for fld in physical.fields
+            )
+            phys = {f["logical"]: f["physical"] for f in fields}
+            cluster_cols = ", ".join(f"`{phys[c]}`" for c in self.bucket_cols)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({cluster_cols}) INTO {self.num_buckets} BUCKETS "
+                f"LOCATION '{link_dir}'"
+            )
+            df = self.spark.table(tbl).select(
+                *[F.col(f["physical"]).alias(f["logical"]) for f in fields]
+            )
+            if not manifest["properties"].get("soft_delete", False):
+                df = df.where(F.col(SDC_DELETED_AT).isNull())
+            yield df
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(link_dir, ignore_errors=True)
 
     # ---------------------------------------------------------------- write
 
@@ -609,7 +714,7 @@ class LakeTable:
                 removed_files += 1
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
-            if entry.startswith("_tmp-write-") and (
+            if entry.startswith(("_tmp-write-", "_tmp-spj-")) and (
                 now - os.path.getmtime(full) >= min_age_sec
             ):
                 shutil.rmtree(full, ignore_errors=True)

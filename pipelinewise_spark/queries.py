@@ -505,6 +505,44 @@ def dedup_jaccard(spark, sf):
     )
 
 
+_NGRAM_WS = """
+    ws AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                 i -> substr(lower(text), i::INT, 5))) AS w
+        FROM documents WHERE doc_id < 200)
+      WHERE w <> '')
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_WS},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ws GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.id_a, s.id_b,
+           round(s.shared / (sa.sz + sb.sz - s.shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE round(s.shared / (sa.sz + sb.sz - s.shared), 6) >= 0.7
+    """,
+)
+def dedup_ngram(spark, sf):
+    """Character 5-gram shingle Jaccard — the n-gram near-dup mode
+    (shingling front-end of MinHash), finer than word tokens."""
+    return dedup_text.ngram_jaccard_pairs(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 200),
+        "doc_id", "text", n=5, threshold=0.7,
+    )
+
+
 _MINHASH_SQL = (
     "WITH "
     + _JACCARD_CTE
@@ -858,6 +896,35 @@ _MULTIMODAL_SQL = (
     + ", ".join(f"{_hex_byte_sql('content_hash', i)} / 255.0" for i in range(8))
     + ") AS features_str FROM hashed"
 )
+
+
+_FRAMES_SQL = """
+    WITH assets AS (
+      SELECT i AS asset_id,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             'blob-' || i || repeat('x', CAST((i % 7) * 13 AS INT)) AS payload
+      FROM range(128) t(i))
+    SELECT asset_id, kind,
+           CAST(off // 32 AS INT) AS frame_idx,
+           off AS "offset",
+           least(32, length(payload) - off)::BIGINT AS n_bytes,
+           sha256(substr(payload, off::INT + 1, 32)) AS frame_hash
+    FROM (SELECT asset_id, kind, payload,
+                 unnest(range(0, greatest(length(payload), 1), 32)) AS off
+          FROM assets)
+"""
+
+
+@q("multimodal_frames", _FRAMES_SQL)
+def multimodal_frames(spark, sf):
+    """Frame sampling over binary media payloads (Arrow mapInPandas,
+    cardinality-changing, no shuffle); the byte slice stands in for the
+    ffmpeg/PIL frame decode, which is stubbed in this container."""
+    from pipelinewise_spark.functions import multimodal
+
+    assets = multimodal.generate_fake_assets(spark, n=128)
+    return multimodal.sample_frames(assets, frame_size=32)
 
 
 @q("multimodal_features", _MULTIMODAL_SQL)
