@@ -65,6 +65,49 @@ def merge_into(
     mode: str = "cow",
     spj: bool | str = "auto",
     spj_min_target_bytes: int = 256 << 20,
+    retries: int = 2,
+) -> dict:
+    """Apply one change batch (see :func:`_merge_once` for semantics and
+    the physical plan). Retries on :class:`CommitConflict` — the
+    optimistic-concurrency loss against another writer: refresh to the
+    winner's manifest and re-apply. Correct because the batch-id guard and
+    LSN bookmark filter re-evaluate against the refreshed state (a batch
+    the winner already committed no-ops), and the loser's orphaned data
+    files are reclaimed by ``vacuum``. This is the retry the reference
+    gets for free from single-writer pipes and a warehouse MERGE
+    transaction (``db_sync.py:359-431``)."""
+    from pipelinewise_spark.lake.table import CommitConflict
+
+    while True:
+        try:
+            return _merge_once(
+                table, source, op_col=op_col, lsn_col=lsn_col,
+                soft_delete=soft_delete, batch_id=batch_id,
+                pipeline_id=pipeline_id, stream=stream,
+                filter_applied_lsn=filter_applied_lsn, mode=mode,
+                spj=spj, spj_min_target_bytes=spj_min_target_bytes,
+            )
+        except CommitConflict:
+            if retries <= 0:
+                raise
+            retries -= 1
+            table.refresh()
+
+
+def _merge_once(
+    table: LakeTable,
+    source: DataFrame,
+    *,
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    soft_delete: bool | None = None,
+    batch_id: Any = None,
+    pipeline_id: str = "default",
+    stream: str = "default",
+    filter_applied_lsn: bool = True,
+    mode: str = "cow",
+    spj: bool | str = "auto",
+    spj_min_target_bytes: int = 256 << 20,
 ) -> dict:
     """Apply one change batch. Returns the metrics dict that was also
     persisted into the manifest summary. Idempotent per (pipeline_id,

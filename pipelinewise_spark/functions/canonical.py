@@ -81,3 +81,69 @@ def pg_lsn_to_int(lsn_str: Column) -> Column:
 def epoch_to_iso(epoch: Column) -> Column:
     """Kafka-style epoch seconds → ISO (``tap_kafka/sync.py:96-109``)."""
     return iso_utc(F.timestamp_seconds(epoch))
+
+
+def seconds_to_hms(sec: Column) -> Column:
+    """MySQL TIME (as a seconds count) → 'HH:MM:SS' — the reference's
+    ``format: time`` branch, ``str(timedelta)`` (``binlog.py:226-228``).
+    Hours are NOT wrapped at 24 (MySQL TIME ranges ±838:59:59)."""
+    s = sec.cast("long")
+    return F.concat_ws(
+        ":",
+        F.lpad((s / 3600).cast("long").cast("string"), 2, "0"),
+        F.lpad(F.pmod((s / 60).cast("long"), F.lit(60)).cast("string"), 2, "0"),
+        F.lpad(F.pmod(s, F.lit(60)).cast("string"), 2, "0"),
+    )
+
+
+def seconds_to_epoch_iso(sec: Column) -> Column:
+    """MySQL TIME without a ``time`` format → epoch-anchored datetime ISO
+    ('1970-01-01T{time}+00:00'), the reference's timedelta-from-epoch
+    branch (``binlog.py:229-230``)."""
+    return iso_utc(F.timestamp_seconds(sec.cast("long")))
+
+
+def wkb_to_geojson(geom: Column) -> Column:
+    """MySQL internal spatial value (4-byte little-endian SRID prefix +
+    WKB) → GeoJSON string, the reference's ``format: spatial`` branch
+    (``binlog.py:235-241``). Geometry decoding is inherently byte-level,
+    so this is the engine's one sanctioned Python path: an Arrow-batched
+    pandas UDF (the reference does the same work row-at-a-time)."""
+    import json as _json
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _coords(fmt, wkb, off, n):
+        vals = struct.unpack_from(f"{fmt}{2 * n}d", wkb, off)
+        return [list(vals[i: i + 2]) for i in range(0, 2 * n, 2)], off + 16 * n
+
+    def _decode(b) -> str | None:
+        if b is None:
+            return None
+        wkb = bytes(b)[4:]  # skip SRID
+        fmt = "<" if wkb[0] == 1 else ">"
+        (gtype,) = struct.unpack_from(f"{fmt}I", wkb, 1)
+        if gtype == 1:  # Point
+            x, y = struct.unpack_from(f"{fmt}dd", wkb, 5)
+            return _json.dumps({"type": "Point", "coordinates": [x, y]})
+        if gtype == 2:  # LineString
+            (n,) = struct.unpack_from(f"{fmt}I", wkb, 5)
+            pts, _ = _coords(fmt, wkb, 9, n)
+            return _json.dumps({"type": "LineString", "coordinates": pts})
+        if gtype == 3:  # Polygon
+            (nrings,) = struct.unpack_from(f"{fmt}I", wkb, 5)
+            off, rings = 9, []
+            for _ in range(nrings):
+                (n,) = struct.unpack_from(f"{fmt}I", wkb, off)
+                pts, off = _coords(fmt, wkb, off + 4, n)
+                rings.append(pts)
+            return _json.dumps({"type": "Polygon", "coordinates": rings})
+        return None  # exotic geometry: caller falls back to hex (T2)
+
+    def _apply(s: "pd.Series"):
+        return s.map(_decode)
+
+    _apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_apply, "string")(geom)

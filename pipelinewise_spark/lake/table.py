@@ -425,7 +425,10 @@ class LakeTable:
                 for fld in physical.fields
             )
             phys = {f["logical"]: f["physical"] for f in fields}
-            cluster_cols = ", ".join(f"`{phys[c]}`" for c in self.bucket_cols)
+            # keyless tables bucket by a content hash over the data
+            # columns (bucket_expr's fallback) — mirror it here
+            cluster_logical = self.bucket_cols or self.data_cols
+            cluster_cols = ", ".join(f"`{phys[c]}`" for c in cluster_logical)
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING parquet "
                 f"CLUSTERED BY ({cluster_cols}) INTO {self.num_buckets} BUCKETS "
@@ -732,7 +735,14 @@ class LakeTable:
         at which point hard-deleted tombstones are physically removed,
         the reference's post-load DELETE, ``db_sync.py:493-497``).
         At scale this is the background optimize job; it bounds read
-        amplification after many small merges."""
+        amplification after many small merges.
+
+        File-count-only compaction (no outstanding deltas in the selected
+        buckets) runs SHUFFLE-FREE via :meth:`scan_clustered`: the
+        bucketed scan hands each task exactly one bucket's rows, so the
+        rewrite is scan → write with zero exchanges — at 100 TB the
+        optimize job moves no data over the network. Delta-folding
+        compaction still pays its last-per-key shuffle (inherent)."""
         deltas = self.manifest.get("deltas", {})
         todo = sorted(
             {
@@ -744,13 +754,31 @@ class LakeTable:
         )
         if not todo:
             return None
-        df = self.read(buckets=todo).withColumn("_bucket", self.bucket_expr())
-        added = self.write_bucket_files(df)
-        return self.commit(
-            added=added,
-            replaced_buckets=todo,
-            summary={"operation": "compact", "buckets": todo},
-        )
+        has_deltas = any(deltas.get(str(b)) for b in todo)
+        with contextlib.ExitStack() as stack:
+            df = None
+            if not has_deltas:
+                df = stack.enter_context(self.scan_clustered(buckets=todo))
+            clustered = df is not None
+            if clustered:
+                # a bare scan→write has no required distribution, so
+                # autoBucketedScan would silently fall back to a plain
+                # file scan (one partition per FILE, buckets interleaved
+                # across tasks); force the bucketed scan for the rewrite
+                key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+                old = self.spark.conf.get(key)
+                self.spark.conf.set(key, "false")
+                stack.callback(self.spark.conf.set, key, old)
+            if df is None:
+                df = self.read(buckets=todo)
+            df = df.withColumn("_bucket", self.bucket_expr())
+            added = self.write_bucket_files(df, clustered=clustered)
+            return self.commit(
+                added=added,
+                replaced_buckets=todo,
+                summary={"operation": "compact", "buckets": todo,
+                         "clustered": clustered},
+            )
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
