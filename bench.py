@@ -110,6 +110,64 @@ def cdc_apply_bench(
     }
 
 
+def bigtarget_merge_bench(spark, *, n_target: int = 3_000_000,
+                          n_batch: int = 150_000, num_buckets: int = 64) -> dict:
+    """The SPJ regime: a large target table, a (relatively) small change
+    batch — the shape a 100 TB table sees every micro-batch. Measures the
+    same merge with the plain read vs the storage-partitioned bucketed
+    scan (`LakeTable.scan_clustered`); shuffle-byte evidence lives in
+    scripts/spj_experiment.py, this records the wall-clock A/B."""
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import LakeTable
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="pw-bigtgt-", dir=scratch)
+
+    def gen(n, lsn0):
+        return spark.range(n).select(
+            F.concat(F.lit("conv-"), F.pmod(F.xxhash64("id"), F.lit(n_target // 5)).cast("string")).alias("conv_id"),
+            F.pmod("id", F.lit(40)).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("turn text "), F.col("id").cast("string"),
+                     F.repeat(F.lit("x"), 64)).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 86400).alias("ts"),
+            (F.col("id") + lsn0).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+
+    tgt_rows = gen(n_target, 0).drop("lsn", "op")
+    proto = os.path.join(base, "proto")
+    table = LakeTable.create(spark, proto, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+                             num_buckets=num_buckets)
+    table.overwrite(tgt_rows)
+    batch = gen(n_batch, n_target + 1).persist()
+    batch.count()
+
+    out = {}
+    for label, flag in (("plain", False), ("spj", True)):
+        path = os.path.join(base, label)
+        shutil.copytree(proto, path)
+        t = LakeTable(spark, path)
+        merge_into(t, batch, batch_id="warm", stream="b", spj=flag)  # warm-up
+        t2_path = os.path.join(base, label + "2")
+        shutil.copytree(proto, t2_path)
+        t2 = LakeTable(spark, t2_path)
+        t0 = time.perf_counter()
+        m = merge_into(t2, batch, batch_id=0, stream="b", spj=flag)
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "updated": m["updated"], "inserted": m["inserted"]}
+    batch.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+    assert out["plain"]["updated"] == out["spj"]["updated"]
+    out["n_target"] = n_target
+    out["n_batch"] = n_batch
+    return out
+
+
 def transform_stage_bench(spark, n: int, rows: int = 20_000_000) -> dict:
     """The transform/canonicalization stage in isolation (mask DSL +
     ISO formatting over generated rows, no input IO) — the CPU-bound
@@ -213,10 +271,13 @@ def run_default() -> dict:
     cdc = cdc_apply_bench(spark, events_path)
     skew = cdc_apply_bench(spark, skew_path)
     mor = cdc_apply_bench(spark, events_path, mode="mor")
+    big = bigtarget_merge_bench(spark)
     queries = {
         "cdc_apply": round(cdc["sec"], 3),
         "cdc_apply_skewed": round(skew["sec"], 3),
         "cdc_apply_mor": round(mor["sec"], 3),
+        "merge_bigtarget_plain": big["plain"]["sec"],
+        "merge_bigtarget_spj": big["spj"]["sec"],
     }
     queries.update(query_benches(spark))
     total = time.perf_counter() - t_total0

@@ -234,6 +234,58 @@ def test_mixed_new_and_bookmarked_stream_routing(spark, tmp_path):
     ev_b.unpersist()
 
 
+def test_multistream_partial_failure_exactly_once(spark, tmp_path):
+    """One stream's merge fails mid-batch → the whole batch retries →
+    already-committed streams no-op via their per-table batch-id guard,
+    the failed stream applies. Per-stream exactly-once survives partial
+    failure (the MultiStreamPipeline contract)."""
+    ev_a = generate_change_events(
+        spark, n_convs=8, turns_per_conv=3, n_updates=20, stream="a"
+    ).persist()
+    ev_b = generate_change_events(
+        spark, n_convs=6, turns_per_conv=3, n_updates=15, seed=9, stream="b"
+    ).persist()
+    ta = LakeTable.create(spark, str(tmp_path / "a"), TRANSCRIPT_SCHEMA,
+                          TRANSCRIPT_KEY, num_buckets=4)
+    tb = LakeTable.create(spark, str(tmp_path / "b"), TRANSCRIPT_SCHEMA,
+                          TRANSCRIPT_KEY, num_buckets=4)
+
+    boom = {"armed": True}
+
+    def failing_transform(df):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected mid-batch failure on stream b")
+        return df
+
+    multi = MultiStreamPipeline({
+        "a": CdcPipeline(ta, stream="a"),
+        "b": CdcPipeline(tb, stream="b", transform=failing_transform),
+    })
+    mixed = ev_a.unionByName(ev_b)
+    with pytest.raises(RuntimeError):
+        multi.apply_batch(mixed, batch_id=7)
+    assert ta.refresh().version == 1  # a committed before b failed
+    assert tb.refresh().version == 0
+    ra_after_first = sorted(
+        (r["conv_id"], r["turn_idx"], r["_lsn"]) for r in ta.read().collect()
+    )
+    results = multi.apply_batch(mixed, batch_id=7)  # the engine-level retry
+    assert results["a"].get("skipped")              # batch-id guard no-op
+    assert not results["b"].get("skipped")
+    assert sorted(
+        (r["conv_id"], r["turn_idx"], r["_lsn"]) for r in ta.read().collect()
+    ) == ra_after_first  # no duplication on stream a
+    for tbl, ev in ((ta, ev_a), (tb, ev_b)):
+        exp = fold_events(
+            [r.asDict() for r in ev.select(*EVENT_COLS).collect()], TRANSCRIPT_KEY
+        )
+        act = {(r["conv_id"], r["turn_idx"]) for r in tbl.read().collect()}
+        assert act == set(exp)
+    ev_a.unpersist()
+    ev_b.unpersist()
+
+
 # --------------------------------------- HASH-SKIP-FIRST byte parity
 
 def test_hash_skip_first_multibyte_parity(spark):
