@@ -463,10 +463,17 @@ class LakeTable:
         buckets (exactly one when num_buckets divides the partition
         count), so the write happens with NO additional shuffle — the
         biggest single saving in the merge path (one of three shuffles
-        eliminated). Otherwise a hash repartition into 4x more partitions
-        than buckets bounds murmur3 bucket-collision stragglers (measured
-        3x at partitions == buckets) without repartitionByRange's
-        double-execution sampling pass."""
+        eliminated). Otherwise a SALTED hash repartition into 4x more
+        partitions than buckets: the salt (functions/skew.py) spreads a
+        placement-skewed bucket — e.g. one hot conv_id under the
+        read-locality ``bucket_col='conv_id'`` layout — over up to 4
+        writer tasks instead of one, and the 4x partition count bounds
+        murmur3 bucket-collision stragglers (measured 3x at
+        partitions == buckets) without repartitionByRange's
+        double-execution sampling pass. Cost: ≤4 files per bucket per
+        write, folded later by compact()."""
+        from pipelinewise_spark.functions.skew import salted_repartition
+
         phys = {
             f["logical"]: f["physical"] for f in self.manifest["fields"]
         }
@@ -478,7 +485,13 @@ class LakeTable:
         tmp = os.path.join(self.path, f"_tmp-write-{token}")
         if not clustered:
             n_out = 4 * (n_partitions or self.num_buckets)
-            out = out.repartition(n_out, F.col("_bucket").cast("long"))
+            out = salted_repartition(
+                out,
+                [F.col("_bucket").cast("long")],
+                n_out,
+                salt=4,
+                salt_cols=[F.col(ph) for ph in phys.values()],
+            )
         (
             out.write.mode("overwrite")
             .partitionBy("_bucket")

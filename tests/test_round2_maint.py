@@ -95,6 +95,33 @@ def test_merge_retries_on_commit_conflict(spark, tmp_path):
     assert m2.get("skipped")
 
 
+def test_salted_write_spreads_hot_bucket(spark, tmp_path):
+    """Read-locality layout (bucket_col='conv_id'): a hot conversation's
+    rows land in ONE bucket; the salted repartition spreads that bucket
+    over multiple writer tasks/files (north rule: skew-aware
+    repartitioning of hot conv_id keys). Content is unchanged."""
+    from pyspark.sql import functions as F2
+
+    rows = spark.range(20000).select(
+        F2.lit("hot-conv").alias("conv_id"),
+        F2.col("id").cast("int").alias("turn_idx"),
+        F2.lit("user").alias("role"),
+        F2.concat(F2.lit("t"), F2.col("id").cast("string")).alias("text"),
+        F2.lit(None).cast("string").alias("tool"),
+        F2.timestamp_seconds(F2.lit(1704067200)).alias("ts"),
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        bucket_col="conv_id", num_buckets=8,
+    )
+    assert not t.buckets_aligned_with_keys  # unclustered (salted) write path
+    t.overwrite(rows)
+    files_per_bucket = {b: len(fl) for b, fl in t.manifest["buckets"].items() if fl}
+    assert len(files_per_bucket) == 1  # one conv → one bucket
+    assert max(files_per_bucket.values()) > 1  # ...written by >1 salted task
+    assert t.read().count() == 20000
+
+
 def test_time_canonicalization(spark):
     df = spark.createDataFrame([(3661,), (0,), (86399,), (90000,)], "sec int")
     rows = df.select(
