@@ -79,10 +79,20 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.transform_config) as fh:
             transform = compile_transformations(json.load(fh), stream=args.stream)
 
+    # soft-delete is governed by the TABLE property (set at create above);
+    # passing the CLI flag through on a resumed table would raise when the
+    # flag is omitted (store_true can't express None). Surface a clear
+    # error if the flag contradicts an existing table instead.
+    prop_soft = bool(table.manifest["properties"].get("soft_delete", False))
+    if args.soft_delete and not prop_soft:
+        p.error(
+            f"--soft-delete contradicts existing table {args.table} "
+            "(created without soft_delete property)"
+        )
     pipe = CdcPipeline(
         table,
         stream=args.stream,
-        soft_delete=args.soft_delete,
+        soft_delete=None,
         transform=transform,
         compact_every=args.compact_every,
     )

@@ -274,6 +274,7 @@ def _merge_once(
         # shuffles only the source batch; the join output lands exactly
         # one bucket per task, so the clustered write stays shuffle-free
         tgt = stack.enter_context(table.scan_clustered(buckets=affected))
+        use_spj = tgt is not None  # scan may decline (outstanding deltas)
     if tgt is None:
         tgt = table.read(buckets=affected)
     tgt = tgt.withColumn("__t_exists", F.lit(True))

@@ -230,6 +230,16 @@ class MultiStreamPipeline:
         stream_col: str = "stream",
         snapshot_provider: Any = None,
     ):
+        # the dict key is the stream-column VALUE the batch splits on,
+        # and each pipeline filters RECORDs / commits bookmarks under its
+        # own .stream — a mismatch would split data under one name and
+        # bookmark it under another, so fail fast
+        for key, pipe in pipelines.items():
+            if pipe.stream != key:
+                raise ValueError(
+                    f"pipelines[{key!r}].stream is {pipe.stream!r}; the dict "
+                    "key must equal the pipeline's stream"
+                )
         self.pipelines = pipelines
         self.stream_col = stream_col
         #: Callable[[stream], (snapshot DataFrame, lsn0)] — the reference's
@@ -248,12 +258,15 @@ class MultiStreamPipeline:
         done = {}
         if self.snapshot_provider is None:
             return done
-        for stream, pipe in self.pipelines.items():
-            bm = pipe.table.bookmarks.get(stream, {}).get("lsn")
+        for pipe in self.pipelines.values():
+            # keyed by pipe.stream — the SAME name the merges filter and
+            # commit bookmarks under (dict key == pipe.stream is enforced
+            # in __init__)
+            bm = pipe.table.bookmarks.get(pipe.stream, {}).get("lsn")
             if bm is None:
-                snapshot, lsn0 = self.snapshot_provider(stream)
-                done[stream] = initial_load(
-                    pipe.table, snapshot, lsn0=lsn0, stream=stream
+                snapshot, lsn0 = self.snapshot_provider(pipe.stream)
+                done[pipe.stream] = initial_load(
+                    pipe.table, snapshot, lsn0=lsn0, stream=pipe.stream
                 )
         return done
 

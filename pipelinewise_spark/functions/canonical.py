@@ -85,15 +85,19 @@ def epoch_to_iso(epoch: Column) -> Column:
 
 def seconds_to_hms(sec: Column) -> Column:
     """MySQL TIME (as a seconds count) → 'HH:MM:SS' — the reference's
-    ``format: time`` branch, ``str(timedelta)`` (``binlog.py:226-228``).
-    Hours are NOT wrapped at 24 (MySQL TIME ranges ±838:59:59)."""
-    s = sec.cast("long")
-    return F.concat_ws(
-        ":",
-        F.lpad((s / 3600).cast("long").cast("string"), 2, "0"),
-        F.lpad(F.pmod((s / 60).cast("long"), F.lit(60)).cast("string"), 2, "0"),
-        F.lpad(F.pmod(s, F.lit(60)).cast("string"), 2, "0"),
+    ``format: time`` branch (``binlog.py:226-228``). Hours are NOT
+    wrapped at 24 and NOT truncated (MySQL TIME ranges ±838:59:59, so up
+    to 3 hour digits). Negative times render MySQL-style '-HH:MM:SS'
+    (sign + absolute value) — a deliberate divergence from the
+    reference's ``str(timedelta)``, which renders '-1 day, 22:58:59'."""
+    s = F.abs(sec.cast("long"))
+    hms = F.format_string(
+        "%02d:%02d:%02d",
+        (s / 3600).cast("long"),
+        F.pmod((s / 60).cast("long"), F.lit(60)),
+        F.pmod(s, F.lit(60)),
     )
+    return F.when(sec.cast("long") < 0, F.concat(F.lit("-"), hms)).otherwise(hms)
 
 
 def seconds_to_epoch_iso(sec: Column) -> Column:
@@ -120,26 +124,31 @@ def wkb_to_geojson(geom: Column) -> Column:
         return [list(vals[i: i + 2]) for i in range(0, 2 * n, 2)], off + 16 * n
 
     def _decode(b) -> str | None:
-        if b is None:
+        # permissive null-out for NULL, truncated, or corrupt values —
+        # the module's convention (strict rejection belongs to T12)
+        if b is None or len(b) < 9:  # 4B SRID + 1B byte order + 4B type
             return None
-        wkb = bytes(b)[4:]  # skip SRID
-        fmt = "<" if wkb[0] == 1 else ">"
-        (gtype,) = struct.unpack_from(f"{fmt}I", wkb, 1)
-        if gtype == 1:  # Point
-            x, y = struct.unpack_from(f"{fmt}dd", wkb, 5)
-            return _json.dumps({"type": "Point", "coordinates": [x, y]})
-        if gtype == 2:  # LineString
-            (n,) = struct.unpack_from(f"{fmt}I", wkb, 5)
-            pts, _ = _coords(fmt, wkb, 9, n)
-            return _json.dumps({"type": "LineString", "coordinates": pts})
-        if gtype == 3:  # Polygon
-            (nrings,) = struct.unpack_from(f"{fmt}I", wkb, 5)
-            off, rings = 9, []
-            for _ in range(nrings):
-                (n,) = struct.unpack_from(f"{fmt}I", wkb, off)
-                pts, off = _coords(fmt, wkb, off + 4, n)
-                rings.append(pts)
-            return _json.dumps({"type": "Polygon", "coordinates": rings})
+        try:
+            wkb = bytes(b)[4:]  # skip SRID
+            fmt = "<" if wkb[0] == 1 else ">"
+            (gtype,) = struct.unpack_from(f"{fmt}I", wkb, 1)
+            if gtype == 1:  # Point
+                x, y = struct.unpack_from(f"{fmt}dd", wkb, 5)
+                return _json.dumps({"type": "Point", "coordinates": [x, y]})
+            if gtype == 2:  # LineString
+                (n,) = struct.unpack_from(f"{fmt}I", wkb, 5)
+                pts, _ = _coords(fmt, wkb, 9, n)
+                return _json.dumps({"type": "LineString", "coordinates": pts})
+            if gtype == 3:  # Polygon
+                (nrings,) = struct.unpack_from(f"{fmt}I", wkb, 5)
+                off, rings = 9, []
+                for _ in range(nrings):
+                    (n,) = struct.unpack_from(f"{fmt}I", wkb, off)
+                    pts, off = _coords(fmt, wkb, off + 4, n)
+                    rings.append(pts)
+                return _json.dumps({"type": "Polygon", "coordinates": rings})
+        except struct.error:
+            return None
         return None  # exotic geometry: caller falls back to hex (T2)
 
     def _apply(s: "pd.Series"):

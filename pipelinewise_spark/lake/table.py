@@ -264,19 +264,23 @@ class LakeTable:
     def buckets_aligned_with_keys(self) -> bool:
         return bool(self.key_cols) and self.bucket_cols == self.key_cols
 
+    def bucket_source_cols(self) -> list[str]:
+        """The columns the physical bucket id is derived from. Keyless
+        (append-only) tables have no bucket columns; their rows bucket by
+        a content hash over the data columns so compaction / overwrite
+        still distribute evenly. SINGLE source of truth — bucket_expr and
+        scan_clustered's CLUSTERED BY declaration must never diverge (the
+        SPJ path's correctness rests on the declared layout being the
+        physical truth)."""
+        return self.bucket_cols or self.data_cols
+
     def bucket_expr(self, cols: list[Column | str] | None = None) -> Column:
         """Bucket id of a row: ``pmod(murmur3(bucket_cols), num_buckets)``.
         Must stay stable across the table's lifetime (physical layout key).
         Uses ``F.hash`` (murmur3, seed 42) — the identical hash family
         Spark's HashPartitioning applies to shuffle keys, which is what
-        makes the shuffle-free aligned write possible.
-
-        Keyless (append-only) tables have no bucket columns; their rows
-        bucket by a content hash over the data columns so compaction /
-        overwrite still distribute evenly."""
-        use = cols if cols is not None else self.bucket_cols
-        if not use:
-            use = self.data_cols
+        makes the shuffle-free aligned write possible."""
+        use = cols if cols is not None else self.bucket_source_cols()
         exprs = [F.col(c) if isinstance(c, str) else c for c in use]
         return F.pmod(F.hash(*exprs), F.lit(self.num_buckets)).cast("int")
 
@@ -417,18 +421,15 @@ class LakeTable:
                     os.path.join(self.path, rel),
                     os.path.join(link_dir, f"part-{i:05d}-{token}_{b:05d}.parquet"),
                 )
-            physical = _struct_from_fields(
-                [(f["physical"], f["type"]) for f in fields]
-            )
             ddl = ", ".join(
                 f"`{fld.name}` {fld.dataType.simpleString()}"
-                for fld in physical.fields
+                for fld in self.physical_schema.fields
             )
             phys = {f["logical"]: f["physical"] for f in fields}
-            # keyless tables bucket by a content hash over the data
-            # columns (bucket_expr's fallback) — mirror it here
-            cluster_logical = self.bucket_cols or self.data_cols
-            cluster_cols = ", ".join(f"`{phys[c]}`" for c in cluster_logical)
+            # same column list bucket_expr hashes — one source of truth
+            cluster_cols = ", ".join(
+                f"`{phys[c]}`" for c in self.bucket_source_cols()
+            )
             self.spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING parquet "
                 f"CLUSTERED BY ({cluster_cols}) INTO {self.num_buckets} BUCKETS "

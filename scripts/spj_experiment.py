@@ -158,7 +158,7 @@ def main():
         "plain": {k: a[k] for k in ("wall_sec", "shuffle_write_mb", "shuffle_read_mb")},
         "bucketed": {k: b[k] for k in ("wall_sec", "shuffle_write_mb", "shuffle_read_mb")},
         "shuffle_write_saving_pct": round(
-            100 * (1 - (b["shuffle_write_mb"] or 1) / max(a["shuffle_write_mb"], 1e-9)), 1
+            100 * (1 - b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-9)), 1
         ),
         "bucketed_plan_exchanges": n_exchanges,
         "rows_match": a["result"] == b["result"],

@@ -234,6 +234,15 @@ def test_mixed_new_and_bookmarked_stream_routing(spark, tmp_path):
     ev_b.unpersist()
 
 
+def test_multistream_rejects_mismatched_stream_keys(spark, tmp_path):
+    """dict key = split value, pipe.stream = bookmark key; a mismatch
+    would bookmark data under a different name than it was split on."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                         TRANSCRIPT_KEY, num_buckets=2)
+    with pytest.raises(ValueError, match="must equal the pipeline's stream"):
+        MultiStreamPipeline({"public-users": CdcPipeline(t, stream="users")})
+
+
 def test_multistream_partial_failure_exactly_once(spark, tmp_path):
     """One stream's merge fails mid-batch → the whole batch retries →
     already-committed streams no-op via their per-table batch-id guard,

@@ -136,6 +136,18 @@ def test_time_canonicalization(spark):
     assert "25:00:00" in got  # MySQL TIME exceeds 24h; hours not wrapped
 
 
+def test_time_hms_edge_ranges(spark):
+    """3-digit hours must not be lpad-truncated; negatives render
+    MySQL-style '-HH:MM:SS' (full TIME range ±838:59:59)."""
+    df = spark.createDataFrame(
+        [(360000,), (3020399,), (-3661,), (-3020399,)], "sec long"
+    )
+    got = [r["hms"] for r in df.select(
+        canonical.seconds_to_hms(F.col("sec")).alias("hms")
+    ).collect()]
+    assert set(got) == {"100:00:00", "838:59:59", "-01:01:01", "-838:59:59"}
+
+
 def _mysql_geom(wkb: bytes, srid: int = 4326) -> bytes:
     return srid.to_bytes(4, "little") + wkb
 
@@ -149,8 +161,11 @@ def test_wkb_to_geojson(spark):
         + struct.pack("<I", len(ring))
         + b"".join(struct.pack("<dd", *p) for p in ring)
     )
+    truncated = _mysql_geom(struct.pack("<BI", 1, 1) + b"\x00" * 4)  # cut Point
     df = spark.createDataFrame(
-        [(1, point), (2, line), (3, poly), (4, None)], "id int, g binary"
+        [(1, point), (2, line), (3, poly), (4, None), (5, b""),
+         (6, b"\x01\x02"), (7, truncated)],
+        "id int, g binary",
     )
     out = {
         r["id"]: (json.loads(r["gj"]) if r["gj"] else None)
@@ -159,4 +174,6 @@ def test_wkb_to_geojson(spark):
     assert out[1] == {"type": "Point", "coordinates": [19.04, 47.49]}
     assert out[2] == {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 2.0]]}
     assert out[3]["type"] == "Polygon" and out[3]["coordinates"][0][1] == [4.0, 0.0]
-    assert out[4] is None
+    # NULL, empty, short, and truncated payloads all null out (permissive
+    # convention) instead of crashing the executor task
+    assert out[4] is None and out[5] is None and out[6] is None and out[7] is None

@@ -51,6 +51,10 @@ def test_scan_clustered_falls_back_on_deltas(spark, tmp_path):
     merge_into(table, ev.where(F.col("lsn") <= 30), batch_id=0, mode="mor")
     with table.scan_clustered() as tgt:
         assert tgt is None  # outstanding deltas → no clustered contract
+    # a forced-spj merge over those deltas falls back AND reports
+    # truthfully (the metric must not claim the fast path ran)
+    m = merge_into(table, ev.where(F.col("lsn") > 30), batch_id=1, spj=True)
+    assert m["spj"] is False
 
 
 def test_merge_spj_equals_plain(spark, tmp_path):
@@ -66,7 +70,8 @@ def test_merge_spj_equals_plain(spark, tmp_path):
         batch = ev.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
         ma = merge_into(ta, batch, batch_id=i, spj=True)
         mb = merge_into(tb, batch, batch_id=i, spj=False)
-        assert ma["spj"] is True and mb["spj"] is False
+        # batch 0 hits an EMPTY table → no files → honest fallback
+        assert ma["spj"] is (i > 0) and mb["spj"] is False
         for k in ("inserted", "updated", "deleted", "stale"):
             assert ma[k] == mb[k], (i, k, ma, mb)
     rows = lambda t: sorted(  # noqa: E731
