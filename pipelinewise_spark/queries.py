@@ -868,6 +868,32 @@ def dedup_simhash(spark, sf):
     )
 
 
+@q(
+    "stream_windowed_rates",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%dT%H:%M:%S')
+             AS window_start,
+           sum(CASE WHEN {OP_SQL} = 'I' THEN 1 ELSE 0 END)::BIGINT AS n_inserts,
+           sum(CASE WHEN {OP_SQL} = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updates,
+           sum(CASE WHEN {OP_SQL} = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_rates(spark, sf):
+    """§2.7 — event-time windowed change rates (the streaming monitor
+    operator run in batch mode; on a stream the same plan runs with a
+    watermark, tests/test_streaming_monitor.py)."""
+    from pipelinewise_spark.streaming import windowed_change_rates
+
+    ev = _t(spark, sf, "events").select("ts", _op_col().alias("op"))
+    out = windowed_change_rates(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+        "n_inserts", "n_updates", "n_deletes", "n_events",
+    )
+
+
 def _hex_byte_sql(h: str, i: int) -> str:
     """DuckDB: byte ``i`` of a hex digest string as an integer."""
     hx = "0123456789abcdef"
