@@ -232,10 +232,14 @@ def query_benches(spark) -> dict:
         "t2_canonicalize_ts",
         "j6_partial_sync_range",
         "dedup_exact",
+        "dedup_minhash_lsh",
         "text_quality_score",
         "text_lang_id",
         "ann_cosine_topk",
+        "ann_lsh_similar_pairs",
+        "stream_windowed_rates",
         "multimodal_features",
+        "multimodal_frames",
     ]
     out = {}
     for name in names:

@@ -164,6 +164,39 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def lsh_similar_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidates are pairs
+    sharing a hyperplane bucket (equi-join keyed on the bucket — linear
+    shuffle, no cross product), then exact cosine ≥ threshold on
+    candidates only. The LSH analog of the quadratic
+    :func:`similar_pairs` baseline; recall is bounded by the bucket
+    collision probability of the ``num_planes`` sign pattern.
+    Columns: id_a, id_b, sim."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bkt"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def label_centroids(
     df: DataFrame,
     *,

@@ -543,7 +543,7 @@ def dedup_ngram(spark, sf):
     )
 
 
-_MINHASH_SQL = (
+_MINHASH_CTES = (
     "WITH "
     + _JACCARD_CTE
     + ",\n    sigs AS (SELECT doc_id, "
@@ -559,20 +559,41 @@ _MINHASH_SQL = (
     + """    cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b ON a.doc_id < b.doc_id
-       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
-    SELECT c.id_a, c.id_b, j.jaccard
-    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
-    WHERE j.jaccard >= 0.8
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b, j.jaccard
+      FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.8)
     """
 )
 
 
-@q("dedup_minhash_lsh", _MINHASH_SQL)
+@q("dedup_minhash_lsh", _MINHASH_CTES + "SELECT id_a, id_b, jaccard FROM mh_pairs")
 def dedup_minhash(spark, sf):
     return dedup_text.minhash_dedup_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
         num_hashes=8, bands=4, threshold=0.8,
     )
+
+
+@q(
+    "dedup_survivors",
+    _MINHASH_CTES
+    + """
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM mh_pairs)
+    """,
+)
+def dedup_survivors(spark, sf):
+    """End-to-end dedup selection: keep each near-dup pair's smaller id
+    (drop every doc that appears as the larger side of a verified pair) —
+    the materialized 'cleaned corpus' a training pipeline consumes."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup_text.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, threshold=0.8
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
 _STOP_SQL = {
@@ -785,6 +806,27 @@ def _plane_sql(vec: str) -> str:
 def ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ann.lsh_topk(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64)
+
+
+@q(
+    "ann_lsh_similar_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_plane_sql('embedding::DOUBLE[]')} AS bkt
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round({_cos_sql('a.v', 'c.v')}, 6) AS sim
+    FROM b a JOIN b c ON c.bkt = a.bkt AND a.vec_id < c.vec_id
+    WHERE round({_cos_sql('a.v', 'c.v')}, 6) >= 0.3
+    """,
+)
+def ann_lsh_pairs(spark, sf):
+    """Embedding-cosine near-dup via LSH bucketing — the scale path of
+    ann_similar_pairs (equi-join on hyperplane bucket, no cross product)."""
+    return ann.lsh_similar_pairs(
+        _t(spark, sf, "embeddings"), dim=64, num_planes=6, threshold=0.3
+    )
 
 
 @q(
