@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         soft_delete=None,
         transform=transform,
         compact_every=args.compact_every,
+        # --append-only is the CLI's explicit opt-out of the reference's
+        # primary_key_required guard (a keyless table without the flag
+        # errors rather than silently duplicating on replay)
+        primary_key_required=not args.append_only,
     )
 
     if args.mode == "snapshot":

@@ -47,7 +47,18 @@ class CdcPipeline:
         max_files_per_bucket: int = 4,
         mode: str = "cow",
         validate: str = "permissive",
+        primary_key_required: bool = True,
     ):
+        # reference default: a stream without key_properties is rejected
+        # unless the target config opts out
+        # (target_postgres/__init__.py:203-206) — keyless streams load
+        # append-only, which silently duplicates on replay, so the opt-in
+        # must be explicit
+        if primary_key_required and not table.key_cols:
+            raise ValueError(
+                f"table {table.path} has no primary key; pass "
+                "primary_key_required=False to load it append-only"
+            )
         self.table = table
         self.stream = stream
         self.pipeline_id = pipeline_id

@@ -234,6 +234,20 @@ def test_mixed_new_and_bookmarked_stream_routing(spark, tmp_path):
     ev_b.unpersist()
 
 
+def test_primary_key_required_guard(spark, tmp_path):
+    """Reference target_postgres/__init__.py:203-206: a keyless stream is
+    rejected unless the config opts out — keyless loads are append-only
+    and would silently duplicate on replay."""
+    keyless = LakeTable.create(spark, str(tmp_path / "k"), TRANSCRIPT_SCHEMA,
+                               [], num_buckets=2)
+    with pytest.raises(ValueError, match="primary_key_required"):
+        CdcPipeline(keyless, stream="s")
+    pipe = CdcPipeline(keyless, stream="s", primary_key_required=False)
+    ev = generate_change_events(spark, n_convs=4, turns_per_conv=2, n_updates=5)
+    m = pipe.apply_batch(ev, batch_id=0)
+    assert m["inserted"] == ev.count() and m.get("appended")
+
+
 def test_multistream_rejects_mismatched_stream_keys(spark, tmp_path):
     """dict key = split value, pipe.stream = bookmark key; a mismatch
     would bookmark data under a different name than it was split on."""

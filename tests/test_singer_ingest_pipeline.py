@@ -68,7 +68,8 @@ def test_auto_compaction_after_batches(spark, tmp_path):
         spark, str(tmp_path / "t2"), TRANSCRIPT_SCHEMA, [],  # no PK → append
         num_buckets=2, bucket_col="conv_id",
     )
-    pipe = CdcPipeline(table, stream="s", compact_every=4, max_files_per_bucket=1)
+    pipe = CdcPipeline(table, stream="s", compact_every=4, max_files_per_bucket=1,
+                       primary_key_required=False)
     pipe.replay(events, n_batches=4)
     assert all(len(fl) <= 1 for fl in table.manifest["buckets"].values())
     assert table.manifest["summary"]["operation"] == "compact"
