@@ -101,9 +101,6 @@ def decode_records(
         raise ValueError(f"validate must be permissive|strict, got {validate!r}")
     if isinstance(payload_schema, dict):
         payload_schema = jsonschema_to_struct(payload_schema)
-    rec = lines.where(message_type() == "RECORD")
-    if stream is not None:
-        rec = rec.where(F.get_json_object("value", "$.stream") == stream)
     # build a fresh field list — StructType.add mutates, and the
     # constructor aliases the caller's list
     from pyspark.sql.types import LongType, StringType, StructField
@@ -112,16 +109,45 @@ def decode_records(
         list(payload_schema.fields)
         + [StructField(LSN_FIELD, LongType()), StructField(DELETED_FIELD, StringType())]
     )
-    json_opts = {"mode": "FAILFAST"} if validate == "strict" else {}
-    parsed = rec.select(
-        F.get_json_object("value", "$.stream").alias("stream"),
-        F.from_json(
-            F.get_json_object("value", "$.record"), envelope, json_opts
-        ).alias("r"),
-        F.to_timestamp(F.get_json_object("value", "$.time_extracted")).alias(
-            "time_extracted"
-        ),
-    )
+    if validate == "strict":
+        # strict mode filters BEFORE parsing so FAILFAST fires only on
+        # this stream's RECORDs (a foreign stream's malformed payload is
+        # not this pipeline's error) — pays the extra get_json_object
+        rec = lines.where(message_type() == "RECORD")
+        if stream is not None:
+            rec = rec.where(F.get_json_object("value", "$.stream") == stream)
+        parsed = rec.select(
+            F.get_json_object("value", "$.stream").alias("stream"),
+            F.from_json(
+                F.get_json_object("value", "$.record"), envelope,
+                {"mode": "FAILFAST"},
+            ).alias("r"),
+            F.to_timestamp(F.get_json_object("value", "$.time_extracted")).alias(
+                "time_extracted"
+            ),
+        )
+    else:
+        # fast path: ONE from_json parse of the whole frame per line
+        # (type + stream + record + time_extracted) instead of 5 separate
+        # JSON parses — the tap-faithful ingest profile is CPU-bound on
+        # exactly this decode (BENCH.md singer_decode rows)
+        full = StructType(
+            [
+                StructField("type", StringType()),
+                StructField("stream", StringType()),
+                StructField("record", envelope),
+                StructField("time_extracted", StringType()),
+            ]
+        )
+        m = lines.select(F.from_json("value", full).alias("m"))
+        cond = F.col("m.type") == "RECORD"
+        if stream is not None:
+            cond = cond & (F.col("m.stream") == stream)
+        parsed = m.where(cond).select(
+            F.col("m.stream").alias("stream"),
+            F.col("m.record").alias("r"),
+            F.to_timestamp("m.time_extracted").alias("time_extracted"),
+        )
     return parsed.select(
         F.col(f"r.{LSN_FIELD}").alias("lsn"),
         F.when(F.col(f"r.{DELETED_FIELD}").isNotNull(), F.lit("D"))
