@@ -219,6 +219,32 @@ def minhash_dedup_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def minhash_signature_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    delim: str = " ",
+) -> DataFrame:
+    """Near-dup CLUSTERS by identical full MinHash signature — the scale
+    path for duplicate-heavy corpora, where pair listing is inherently
+    O(cluster²) (a 1000-way duplicate cluster is 500k pairs but ONE
+    group row). Identical 16-hash signatures imply near-identical token
+    sets; one explode + one groupBy + one hash-agg, fully linear.
+    Columns: sig, group_size, canonical_id."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, delim=delim)
+    sig = F.md5(F.concat_ws("|", *[F.col(f"mh{i}") for i in range(num_hashes)]))
+    return (
+        sigs.select(F.col(id_col), sig.alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str, delim: str = " ") -> DataFrame:
     """64-bit SimHash: per token take a 64-bit hash, add ±1 per bit
     position weighted by presence, sign → bit. Implemented as 64

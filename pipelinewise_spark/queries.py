@@ -576,6 +576,30 @@ def dedup_minhash(spark, sf):
     )
 
 
+_SIGGROUP_SQL = (
+    "WITH "
+    + _WS_CTE
+    + ",\n    sigs AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}|' || w)) AS mh{i}" for i in range(16))
+    + " FROM ws GROUP BY doc_id)\n"
+    + "    SELECT md5("
+    + " || '|' || ".join(f"mh{i}" for i in range(16))
+    + """) AS sig,
+           count(*) AS group_size, min(doc_id) AS canonical_id
+    FROM sigs GROUP BY 1
+    """
+)
+
+
+@q("dedup_minhash_groups", _SIGGROUP_SQL)
+def dedup_minhash_groups(spark, sf):
+    """Near-dup clusters by identical 16-hash MinHash signature — the
+    linear (no pair join) dedup for duplicate-heavy corpora."""
+    return dedup_text.minhash_signature_groups(
+        _t(spark, sf, "documents"), "doc_id", "text", num_hashes=16
+    )
+
+
 @q(
     "dedup_survivors",
     _MINHASH_CTES
