@@ -97,7 +97,12 @@ def seconds_to_hms(sec: Column) -> Column:
         F.pmod((s / 60).cast("long"), F.lit(60)),
         F.pmod(s, F.lit(60)),
     )
-    return F.when(sec.cast("long") < 0, F.concat(F.lit("-"), hms)).otherwise(hms)
+    # format_string renders SQL NULL args as the literal 'null' — guard
+    return (
+        F.when(sec.isNull(), F.lit(None).cast("string"))
+        .when(sec.cast("long") < 0, F.concat(F.lit("-"), hms))
+        .otherwise(hms)
+    )
 
 
 def seconds_to_epoch_iso(sec: Column) -> Column:

@@ -146,7 +146,9 @@ def decode_records(
         parsed = m.where(cond).select(
             F.col("m.stream").alias("stream"),
             F.col("m.record").alias("r"),
-            F.to_timestamp("m.time_extracted").alias("time_extracted"),
+            # permissive contract: unparseable timestamps null out (ANSI
+            # mode would otherwise fail the whole batch on one bad line)
+            F.try_to_timestamp(F.col("m.time_extracted")).alias("time_extracted"),
         )
     return parsed.select(
         F.col(f"r.{LSN_FIELD}").alias("lsn"),

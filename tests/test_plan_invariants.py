@@ -88,5 +88,9 @@ def test_cross_joins_are_broadcast_only(spark, name):
     plan = _plan(spark, name)
     if "CartesianProduct" in plan:
         raise AssertionError(f"{name} plans a CartesianProduct")
-    # cross joins must appear as BroadcastNestedLoopJoin if at all
-    assert "ShuffledHashJoin Cross" not in plan and "SortMergeJoin Cross" not in plan
+    # any cross join must be the broadcast nested-loop form (small side
+    # broadcast), never a shuffled one — plan strings print the join type
+    # after the key lists, e.g. "SortMergeJoin [k], [k], Cross"
+    for ln in plan.splitlines():
+        if ", Cross" in ln or " Cross," in ln:
+            assert "BroadcastNestedLoopJoin" in ln, f"{name}: shuffled cross join: {ln}"

@@ -101,6 +101,21 @@ def test_strict_validation_rejects_malformed_record(spark):
         protocol.decode_records(lines, payload, stream="s", validate="bogus")
 
 
+def test_permissive_decode_tolerates_bad_time_extracted(spark):
+    """Permissive contract: an unparseable time_extracted nulls out
+    instead of failing the whole batch under ANSI mode."""
+    payload = {"type": "object", "properties": {
+        "conv_id": {"type": ["null", "string"]}}}
+    lines = spark.createDataFrame(
+        [(json.dumps({"type": "RECORD", "stream": "s",
+                      "record": {"_sdc_lsn": 1, "conv_id": "a"},
+                      "time_extracted": "garbage-date"}),)],
+        "value string",
+    )
+    rows = protocol.decode_records(lines, payload, stream="s").collect()
+    assert len(rows) == 1 and rows[0]["time_extracted"] is None
+
+
 # ---------------------------------------- strict SCHEMA stream matching
 
 def test_foreign_schema_does_not_evolve_table(spark, tmp_path):

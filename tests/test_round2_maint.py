@@ -140,12 +140,12 @@ def test_time_hms_edge_ranges(spark):
     """3-digit hours must not be lpad-truncated; negatives render
     MySQL-style '-HH:MM:SS' (full TIME range ±838:59:59)."""
     df = spark.createDataFrame(
-        [(360000,), (3020399,), (-3661,), (-3020399,)], "sec long"
+        [(360000,), (3020399,), (-3661,), (-3020399,), (None,)], "sec long"
     )
     got = [r["hms"] for r in df.select(
         canonical.seconds_to_hms(F.col("sec")).alias("hms")
     ).collect()]
-    assert set(got) == {"100:00:00", "838:59:59", "-01:01:01", "-838:59:59"}
+    assert set(got) == {"100:00:00", "838:59:59", "-01:01:01", "-838:59:59", None}
 
 
 def _mysql_geom(wkb: bytes, srid: int = 4326) -> bytes:

@@ -78,7 +78,6 @@ def test_running_conv_stats_across_microbatches(spark, events, tmp_path):
     )
     q.awaitTermination(120)
     updates = spark.sql("SELECT * FROM conv_stats").collect()
-    n_batches = len({r["max_lsn"] for r in updates}) and None  # noqa: F841
     # last update per conv = the accumulated totals
     final = {}
     for r in updates:  # memory sink appends update rows in batch order
