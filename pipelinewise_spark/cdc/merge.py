@@ -51,6 +51,12 @@ from pipelinewise_spark.lake.table import (
 DROP_ACTIONS = ("delete", "noop_delete")
 
 
+class NullKeyError(ValueError):
+    """A change batch carried NULL in a primary-key column. Raised before
+    commit (no state is published; orphaned files are vacuumed). The
+    reference's warehouse targets reject this with a PK constraint."""
+
+
 def merge_into(
     table: LakeTable,
     source: DataFrame,
@@ -66,6 +72,7 @@ def merge_into(
     spj: bool | str = "auto",
     spj_min_target_bytes: int = 256 << 20,
     retries: int = 2,
+    capture_plan: bool = False,
 ) -> dict:
     """Apply one change batch (see :func:`_merge_once` for semantics and
     the physical plan). Retries on :class:`CommitConflict` — the
@@ -86,6 +93,7 @@ def merge_into(
                 pipeline_id=pipeline_id, stream=stream,
                 filter_applied_lsn=filter_applied_lsn, mode=mode,
                 spj=spj, spj_min_target_bytes=spj_min_target_bytes,
+                capture_plan=capture_plan,
             )
         except CommitConflict:
             if retries <= 0:
@@ -108,6 +116,7 @@ def _merge_once(
     mode: str = "cow",
     spj: bool | str = "auto",
     spj_min_target_bytes: int = 256 << 20,
+    capture_plan: bool = False,
 ) -> dict:
     """Apply one change batch. Returns the metrics dict that was also
     persisted into the manifest summary. Idempotent per (pipeline_id,
@@ -182,49 +191,67 @@ def _merge_once(
     if filter_applied_lsn and prev_bookmark is not None:
         source = source.where(F.col(lsn_col) > F.lit(int(prev_bookmark)))
 
-    src = latest_per_key(source, key_cols, lsn_col=lsn_col)
-    # Normalize to the table's logical payload schema: columns the batch
-    # doesn't carry (pre-evolution events) backfill as NULL — same rule as
-    # the reference's ADD COLUMN backfill (db_sync.py:539-549).
-    proj = []
-    for c in data_cols:
-        if c in src.columns:
-            proj.append(F.col(c))
-        else:
-            proj.append(F.lit(None).cast(table.logical_schema[c].dataType).alias(c))
-    extracted = (
-        F.col("time_extracted")
-        if "time_extracted" in src.columns
-        else F.lit(None).cast("timestamp")
-    )
-    src = src.select(
-        *proj,
-        F.col(op_col).alias("__op"),
-        F.col(lsn_col).cast("long").alias(LSN_COL),
-        extracted.alias(SDC_EXTRACTED_AT),
-        F.current_timestamp().alias(SDC_BATCHED_AT),
-        F.when(
-            F.col(op_col) == "D",
-            F.coalesce(extracted, F.current_timestamp()),
+    def _prepare_src(raw: DataFrame) -> DataFrame:
+        src = latest_per_key(raw, key_cols, lsn_col=lsn_col)
+        # Normalize to the table's logical payload schema: columns the
+        # batch doesn't carry (pre-evolution events) backfill as NULL —
+        # same rule as the reference's ADD COLUMN backfill
+        # (db_sync.py:539-549).
+        proj = []
+        for c in data_cols:
+            if c in src.columns:
+                proj.append(F.col(c))
+            else:
+                proj.append(
+                    F.lit(None).cast(table.logical_schema[c].dataType).alias(c)
+                )
+        extracted = (
+            F.col("time_extracted")
+            if "time_extracted" in src.columns
+            else F.lit(None).cast("timestamp")
         )
-        .otherwise(F.lit(None))
-        .cast("timestamp")
-        .alias(SDC_DELETED_AT),
-    ).withColumn("__s_exists", F.lit(True))
+        return src.select(
+            *proj,
+            F.col(op_col).alias("__op"),
+            F.col(lsn_col).cast("long").alias(LSN_COL),
+            extracted.alias(SDC_EXTRACTED_AT),
+            F.current_timestamp().alias(SDC_BATCHED_AT),
+            F.when(
+                F.col(op_col) == "D",
+                F.coalesce(extracted, F.current_timestamp()),
+            )
+            .otherwise(F.lit(None))
+            .cast("timestamp")
+            .alias(SDC_DELETED_AT),
+        ).withColumn("__s_exists", F.lit(True))
 
     if mode == "mor":
+        src = _prepare_src(source)
         prepared = src.drop("__op", "__s_exists").withColumn(
             "_bucket", table.bucket_expr()
         )
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
         obs = Observation("mor")
         observed = prepared.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
             F.max(LSN_COL).alias("max_lsn"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("null_keys"),
         )
         delta_added = table.write_bucket_files(
             observed, clustered=table.buckets_aligned_with_keys
         )
+        if int(obs.get.get("null_keys") or 0):
+            # same pre-commit rejection as the CoW path: a null PK would
+            # group with every other null PK at read-time resolution
+            raise NullKeyError(
+                f"{int(obs.get['null_keys'])} source row(s) carry NULL in "
+                f"a primary-key column {key_cols}; CDC primary keys must "
+                f"be non-null"
+            )
         max_lsn = obs.get.get("max_lsn")
         prev = table.bookmarks.get(stream, {}).get("lsn")
         new_lsn = max(
@@ -279,11 +306,25 @@ def _merge_once(
         tgt = table.read(buckets=affected)
     tgt = tgt.withColumn("__t_exists", F.lit(True))
 
+    if use_spj:
+        # ONE source exchange for the whole merge: pin the raw batch to
+        # HashPartitioning(key_cols, num_buckets) up front — the dedup
+        # hash-aggregate reuses it (ClusteredDistribution satisfied) and
+        # the bucketed join needs exactly this partitioning, so neither
+        # plans its own shuffle. Without this the plan pays two
+        # source-side exchanges (dedup at spark.sql.shuffle.partitions,
+        # then a re-shuffle to num_buckets for the join). Fixed-width
+        # repartition also disables AQE coalescing on this exchange,
+        # which is what the one-side-bucketed SMJ requires anyway.
+        source = source.repartition(table.num_buckets, *key_cols)
+    src = _prepare_src(source)
+
     try:
         metrics = _merge_cow(
             table, src, tgt, affected,
             soft_delete=soft_delete, batch_id=batch_id,
             pipeline_id=pipeline_id, stream=stream,
+            capture_plan=capture_plan,
         )
         metrics["spj"] = use_spj
         return metrics
@@ -301,12 +342,26 @@ def _merge_cow(
     batch_id: Any,
     pipeline_id: str,
     stream: str,
+    capture_plan: bool = False,
 ) -> dict:
     key_cols = table.key_cols
     s, t = src.alias("s"), tgt.alias("t")
+    # Plain EqualTo join keys, NOT eqNullSafe: Catalyst rewrites
+    # null-safe equality to Coalesce-wrapped keys, which no longer match
+    # the bucketed scan's HashPartitioning(raw keys) — the target side
+    # would be RE-shuffled and the storage-partitioned-join read (the 95%
+    # shuffle-byte saving, scripts/spj_experiment.py) silently lost.
+    # Measured on the production join shape: eqNullSafe plans 2
+    # hash-partitioning exchanges, == plans 1 (tests/test_spj.py::
+    # test_merge_into_spj_plan_single_exchange freezes this). Sound
+    # because CDC primary keys are non-null — enforced below: any
+    # null-key source row fails the merge BEFORE commit (observe-counted
+    # on the write pass, zero extra scan), so target rows, which are
+    # only ever written by this merge / the same-checked paths, can
+    # never carry a null key either.
     cond = None
     for k in key_cols:
-        c = F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        c = F.col(f"s.{k}") == F.col(f"t.{k}")
         cond = c if cond is None else (cond & c)
     joined = s.join(t, cond, "full_outer")
 
@@ -336,15 +391,21 @@ def _merge_cow(
             .otherwise(F.col(f"s.{c}"))
             .alias(c)
         )
+    s_null_key = None
+    for k in key_cols:
+        c = F.col(f"s.{k}").isNull()
+        s_null_key = c if s_null_key is None else (s_null_key | c)
     projected = joined.select(
         *out_cols,
         action.alias("__action"),
         F.when(s_exists, F.col(f"s.{LSN_COL}")).alias("__s_lsn"),
+        (s_exists & s_null_key).alias("__null_key"),
     )
 
     obs = Observation("merge")
     observed = projected.observe(
         obs,
+        F.sum(F.when(F.col("__null_key"), 1).otherwise(0)).alias("null_keys"),
         F.sum(F.when(F.col("__action") == "insert", 1).otherwise(0)).alias("inserted"),
         F.sum(F.when(F.col("__action") == "update", 1).otherwise(0)).alias("updated"),
         F.sum(F.when(F.col("__action") == "delete", 1).otherwise(0)).alias("deleted"),
@@ -356,8 +417,13 @@ def _merge_cow(
     )
     result = (
         observed.where(~F.col("__action").isin(*DROP_ACTIONS))
-        .drop("__action", "__s_lsn")
+        .drop("__action", "__s_lsn", "__null_key")
         .withColumn("_bucket", table.bucket_expr())
+    )
+    plan_str = (
+        result._jdf.queryExecution().executedPlan().toString()
+        if capture_plan
+        else None
     )
     added = table.write_bucket_files(
         result,
@@ -380,7 +446,18 @@ def _merge_cow(
             f"source before merge_into"
         )
     metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
-               if k != "max_lsn"}
+               if k not in ("max_lsn", "null_keys")}
+    null_keys = int(obs.get.get("null_keys") or 0)
+    if null_keys:
+        # fail BEFORE commit: nothing publishes, the orphaned data files
+        # are reclaimed by vacuum(). A null PK is a tap bug (the
+        # reference's warehouses reject it with a PK constraint); letting
+        # it through under EqualTo join keys would insert a fresh row on
+        # every replay instead of upserting.
+        raise NullKeyError(
+            f"{null_keys} source row(s) carry NULL in a primary-key "
+            f"column {table.key_cols}; CDC primary keys must be non-null"
+        )
     max_lsn = obs.get.get("max_lsn")
     prev = table.bookmarks.get(stream, {}).get("lsn")
     new_lsn = max(
@@ -398,6 +475,8 @@ def _merge_cow(
                  "affected_buckets": affected},
     )
     metrics.update(batch_id=batch_id, max_lsn=max_lsn, affected_buckets=len(affected))
+    if plan_str is not None:
+        metrics["plan"] = plan_str
     return metrics
 
 

@@ -82,6 +82,63 @@ def test_merge_spj_equals_plain(spark, tmp_path):
     ev.unpersist()
 
 
+def test_merge_into_spj_plan_single_exchange(spark, tmp_path):
+    """The PRODUCTION merge join — not a hand-built one — must shuffle
+    only the source batch when the SPJ read is active. Regression for the
+    round-2 finding: eqNullSafe join keys are Coalesce-rewritten by
+    Catalyst, which hides the bucketed scan's HashPartitioning and
+    re-shuffles the target; plain == keys (sound: null PKs are rejected
+    pre-commit) keep the single-exchange plan. The source-side dedup
+    aggregate must also reuse the one pinned exchange rather than adding
+    its own."""
+    ev = generate_change_events(spark, n_convs=30, turns_per_conv=4, n_updates=50)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY, num_buckets=4
+    )
+    merge_into(table, ev.where(F.col("lsn") <= 120), batch_id=0)
+    m_spj = merge_into(
+        table, ev.where((F.col("lsn") > 120) & (F.col("lsn") <= 150)),
+        batch_id=1, spj=True, capture_plan=True,
+    )
+    assert m_spj["spj"] is True
+    assert m_spj["plan"].count("Exchange hashpartitioning") == 1, m_spj["plan"]
+    assert "SelectedBucketsCount" in m_spj["plan"], m_spj["plan"]
+    m_plain = merge_into(
+        table, ev.where(F.col("lsn") > 150), batch_id=2, spj=False,
+        capture_plan=True,
+    )
+    # the plain path pays the target-side exchange the SPJ path eliminates
+    assert m_plain["plan"].count("Exchange hashpartitioning") == 2, m_plain["plan"]
+
+
+def test_merge_rejects_null_primary_key(spark, tmp_path):
+    """A NULL PK must fail BEFORE commit on both merge paths (EqualTo
+    join keys would otherwise re-insert the row on every replay); the
+    table state stays untouched."""
+    import pytest
+
+    from pipelinewise_spark.cdc.merge import NullKeyError
+
+    ev = generate_change_events(spark, n_convs=8, turns_per_conv=3, n_updates=10)
+    bad = ev.withColumn(
+        "conv_id",
+        F.when(F.col("lsn") % 7 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    )
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"t-{mode}"), TRANSCRIPT_SCHEMA,
+            TRANSCRIPT_KEY, num_buckets=4,
+        )
+        with pytest.raises(NullKeyError):
+            merge_into(t, bad, batch_id=0, mode=mode)
+        t.refresh()
+        assert t.version == 0 and t.read().count() == 0
+        # a clean batch still applies afterwards
+        m = merge_into(t, ev, batch_id=1, mode=mode)
+        assert m.get("skipped") is None
+        assert t.read().count() > 0
+
+
 def test_merge_spj_auto_gates_on_target_bytes(spark, tmp_path):
     """auto mode: a tiny target (a few KB) keeps the plain read (the
     avoided shuffle is free, AQE flexibility wins); forcing a 0-byte
