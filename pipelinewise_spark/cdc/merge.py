@@ -57,6 +57,13 @@ class NullKeyError(ValueError):
     reference's warehouse targets reject this with a PK constraint."""
 
 
+class ExactlyOnceWindowError(RuntimeError):
+    """The bounded applied-batch-id window has evicted ids AND the LSN
+    bookmark backstop is unavailable (``filter_applied_lsn=False``, or a
+    keyless append without an lsn column) — a replay older than the
+    window could double-apply, so the merge refuses to run."""
+
+
 def merge_into(
     table: LakeTable,
     source: DataFrame,
@@ -129,6 +136,11 @@ def _merge_once(
     the already-applied prefix must be a no-op. This is essential with
     hard deletes (a replayed pre-delete upsert must not resurrect a
     deleted row) and is a cheap pushed-down predicate on the source.
+    Disabling it (``False``) is only allowed while the bounded
+    applied-batch-id window has evicted nothing — afterwards the LSN
+    filter is the only guard against replays older than the window, so
+    the merge raises :class:`ExactlyOnceWindowError` instead of risking
+    a double-apply.
 
     ``mode``:
     - ``"cow"`` (default) — copy-on-write: read affected buckets, full
@@ -158,6 +170,19 @@ def _merge_once(
     scale). ``True`` forces it, ``False`` forces the plain read."""
     if batch_id is not None and batch_id in table.applied_batch_ids(pipeline_id):
         return {"skipped": True, "batch_id": batch_id}
+    if not filter_applied_lsn and table.batch_ids_evicted(pipeline_id):
+        # The batch-id set is a BOUNDED window (lake/table.py
+        # MAX_APPLIED_BATCH_IDS); once ids have been evicted, a replay
+        # older than the window is only caught by the LSN bookmark
+        # filter. With that backstop disabled exactly-once is no longer
+        # provable — fail instead of silently risking a double-apply.
+        raise ExactlyOnceWindowError(
+            f"filter_applied_lsn=False but "
+            f"{table.batch_ids_evicted(pipeline_id)} batch id(s) of "
+            f"pipeline {pipeline_id!r} have been evicted from the "
+            f"replay-guard window; re-enable the LSN filter or replay "
+            f"from a snapshot"
+        )
 
     # Soft-delete is a TABLE-level mode, not a per-call choice: the
     # read-time tombstone filter keys off the 'soft_delete' property, so a
@@ -493,6 +518,16 @@ def _append_only(
     """J4 — no-PK append: rows land under a content-hash bucket; no
     target read, no join, no bucket replacement (pure file add), so the
     commit is O(batch) regardless of table size."""
+    if lsn_col not in source.columns and table.batch_ids_evicted(pipeline_id):
+        # keyless + no lsn column = no bookmark backstop; once batch ids
+        # have been evicted from the bounded window, exactly-once is
+        # unprovable for old replays — refuse (see ExactlyOnceWindowError)
+        raise ExactlyOnceWindowError(
+            f"append-only source has no {lsn_col!r} column and "
+            f"{table.batch_ids_evicted(pipeline_id)} batch id(s) of "
+            f"pipeline {pipeline_id!r} were evicted from the replay-guard "
+            f"window; add a monotonic lsn column or replay from a snapshot"
+        )
     prev = table.bookmarks.get(stream, {}).get("lsn")
     if prev is not None and lsn_col in source.columns:
         source = source.where(F.col(lsn_col) > F.lit(int(prev)))

@@ -165,6 +165,7 @@ class LakeTable:
             "deltas": {},
             "bookmarks": {},
             "applied_batch_ids": {},
+            "batch_ids_evicted": {},
             "summary": {},
             "properties": properties or {},
         }
@@ -237,6 +238,14 @@ class LakeTable:
 
     def applied_batch_ids(self, pipeline_id: str) -> set:
         return set(self.manifest["applied_batch_ids"].get(pipeline_id, []))
+
+    def batch_ids_evicted(self, pipeline_id: str) -> int:
+        """How many applied batch ids have fallen out of the bounded
+        replay-guard window (MAX_APPLIED_BATCH_IDS). While 0, the id set
+        alone proves exactly-once for any replay; once positive, replays
+        older than the window are only caught by the LSN bookmark filter
+        — merges that disable that backstop are rejected (cdc/merge.py)."""
+        return int(self.manifest.get("batch_ids_evicted", {}).get(pipeline_id, 0))
 
     def bucket_bytes(self, buckets: list[int] | None = None) -> int:
         """On-disk bytes of the base files for the selected buckets —
@@ -565,11 +574,20 @@ class LakeTable:
         for stream, bm in (bookmarks or {}).items():
             bms[stream] = {**bms.get(stream, {}), **bm}
         abi = {k: list(v) for k, v in m["applied_batch_ids"].items()}
+        evicted = dict(m.get("batch_ids_evicted", {}))
         if batch_id is not None:
             abi.setdefault(pipeline_id, [])
             if batch_id not in abi[pipeline_id]:
                 abi[pipeline_id].append(batch_id)
-            abi[pipeline_id] = abi[pipeline_id][-MAX_APPLIED_BATCH_IDS:]
+            n_evict = max(0, len(abi[pipeline_id]) - MAX_APPLIED_BATCH_IDS)
+            if n_evict:
+                # record that ids fell out of the replay-guard window: a
+                # merge that DISABLES the LSN bookmark backstop
+                # (filter_applied_lsn=False / keyless source without an
+                # lsn column) can no longer prove exactly-once and must
+                # fail loudly (cdc/merge.py checks this counter)
+                evicted[pipeline_id] = evicted.get(pipeline_id, 0) + n_evict
+                abi[pipeline_id] = abi[pipeline_id][-MAX_APPLIED_BATCH_IDS:]
         lineage = self._file_lineage({**(added or {}), **(delta_added or {})})
         m.update(
             version=self.version + 1,
@@ -578,6 +596,7 @@ class LakeTable:
             deltas=new_deltas,
             bookmarks=bms,
             applied_batch_ids=abi,
+            batch_ids_evicted=evicted,
             summary={
                 **(summary or {}),
                 "added_files": lineage,

@@ -20,11 +20,23 @@ from pyspark.sql import SparkSession
 def render_starting_offsets(topic: str, bookmark: dict) -> str:
     """Reference bookmark ``{partition: offset}`` (``tap_kafka/sync.py:
     80-93``) → Spark's ``startingOffsets`` JSON spec
-    ``{"topic": {"partition": offset}}``. Offsets are the NEXT offset to
-    consume, matching Spark's inclusive-start convention; partition keys
-    must be strings, offsets integers (-2 = earliest, -1 = latest)."""
+    ``{"topic": {"partition": offset}}``.
+
+    Semantics bridge: the reference stores the LAST-CONSUMED offset
+    (``update_bookmark`` records ``message.offset()``) and deliberately
+    re-reads it on resume, while Spark's ``startingOffsets`` is the NEXT
+    offset to consume (inclusive start). A verbatim reference bookmark
+    would therefore re-consume one message per partition, so non-sentinel
+    offsets are incremented here; the sentinels pass through (-2 =
+    earliest, -1 = latest). Partition keys must be strings, offsets
+    integers."""
     return json.dumps(
-        {topic: {str(p): int(o) for p, o in bookmark.items()}},
+        {
+            topic: {
+                str(p): (int(o) if int(o) < 0 else int(o) + 1)
+                for p, o in bookmark.items()
+            }
+        },
         sort_keys=True,
     )
 

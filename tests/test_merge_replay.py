@@ -144,3 +144,60 @@ def test_lineage_and_metrics_in_manifest(spark, tmp_path, events):
     assert sum(f["rows"] for f in files) == table.read().count()
     mets = summ["metrics"]
     assert set(mets) >= {"inserted", "updated", "deleted", "tombstoned", "stale", "carried"}
+
+
+def test_exactly_once_window_eviction_guard(spark, tmp_path, events, monkeypatch):
+    """Once batch ids fall out of the bounded replay-guard window, a merge
+    that disables the LSN bookmark backstop (filter_applied_lsn=False)
+    must refuse to run — with both guards off, a replay older than the
+    window would double-apply (ADVICE r2)."""
+    import pipelinewise_spark.lake.table as lt
+    from pipelinewise_spark.cdc.merge import ExactlyOnceWindowError
+
+    monkeypatch.setattr(lt, "MAX_APPLIED_BATCH_IDS", 2)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4,
+    )
+    for i, (lo, hi) in enumerate([(0, 60), (60, 120), (120, 180)]):
+        merge_into(
+            t, events.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)),
+            batch_id=i, filter_applied_lsn=False,
+        )
+    # third commit evicted batch id 0 from the window of 2
+    assert t.batch_ids_evicted("default") == 1
+    assert t.applied_batch_ids("default") == {1, 2}
+    with pytest.raises(ExactlyOnceWindowError):
+        merge_into(
+            t, events.where(F.col("lsn") > 180), batch_id=3,
+            filter_applied_lsn=False,
+        )
+    # the LSN-filtered path still works after eviction (backstop intact)
+    m = merge_into(t, events.where(F.col("lsn") > 180), batch_id=3)
+    assert m.get("skipped") is None
+    # and a replayed in-window id still short-circuits
+    assert merge_into(t, events, batch_id=2, filter_applied_lsn=False)["skipped"]
+
+
+def test_exactly_once_window_keyless_no_lsn_guard(spark, tmp_path, monkeypatch):
+    """Keyless append-only source WITHOUT an lsn column has no bookmark
+    backstop at all: allowed while the id window is complete, refused
+    after eviction."""
+    import pipelinewise_spark.lake.table as lt
+    from pipelinewise_spark.cdc.merge import ExactlyOnceWindowError
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    monkeypatch.setattr(lt, "MAX_APPLIED_BATCH_IDS", 2)
+    schema = StructType([StructField("msg", StringType())])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=[], num_buckets=4,
+        properties={"primary_key_required": False},
+    )
+    src = spark.createDataFrame([("a",), ("b",)], schema).withColumn(
+        "op", F.lit("I")
+    )
+    for i in range(3):
+        merge_into(t, src, batch_id=i)
+    assert t.batch_ids_evicted("default") == 1
+    with pytest.raises(ExactlyOnceWindowError):
+        merge_into(t, src, batch_id=3)

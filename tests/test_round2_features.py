@@ -176,8 +176,14 @@ def test_typed_array_decodes_in_records(spark):
 # --------------------------------------------------- kafka offset spec
 
 def test_kafka_starting_offsets_spec():
-    rendered = render_starting_offsets("transcripts", {0: 42, 1: 7, 2: -2})
-    assert json.loads(rendered) == {"transcripts": {"0": 42, "1": 7, "2": -2}}
+    # reference bookmarks hold the LAST-CONSUMED offset; Spark's
+    # startingOffsets is inclusive-next → +1 on non-sentinel offsets
+    # (verbatim conversion would re-consume one message per partition);
+    # sentinels (-2 earliest / -1 latest) pass through
+    rendered = render_starting_offsets("transcripts", {0: 42, 1: 7, 2: -2, 3: -1})
+    assert json.loads(rendered) == {
+        "transcripts": {"0": 43, "1": 8, "2": -2, "3": -1}
+    }
     # partition keys MUST be strings, offsets ints (Spark's JSON spec)
     parsed = json.loads(rendered)["transcripts"]
     assert all(isinstance(k, str) for k in parsed)
