@@ -265,6 +265,15 @@ def query_benches(spark) -> dict:
     t0 = time.perf_counter()
     _force(ann.lsh_similar_pairs(emb, dim=64, num_planes=8, threshold=0.3))
     out["ann_lsh_similar_pairs_p8"] = round(time.perf_counter() - t0, 3)
+
+    # round 3: OR-amplified banded LSH — 4 independent 10-plane tables
+    # (1024 buckets each). vs the single 8-plane table above: each band's
+    # within-bucket quadratic tail is 4x smaller while the OR across
+    # bands RAISES recall on true near-dups (tests/test_round3_features).
+    t0 = time.perf_counter()
+    _force(ann.lsh_banded_pairs(emb, dim=64, bands=4, band_planes=10,
+                                threshold=0.3))
+    out["ann_lsh_banded_pairs"] = round(time.perf_counter() - t0, 3)
     return out
 
 

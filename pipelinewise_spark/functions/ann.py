@@ -197,6 +197,94 @@ def lsh_similar_pairs(
     )
 
 
+def lsh_banded_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    band_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """OR-amplified hyperplane LSH candidate pairs: ``bands`` INDEPENDENT
+    plane sets (band ``b`` seeds its planes with ``seed + b``), a pair is
+    a candidate if it collides in ANY band — the same AND/OR construction
+    :func:`pipelinewise_spark.functions.dedup_text.lsh_candidate_pairs`
+    uses for MinHash, applied to the embedding side.
+
+    Why this beats the single-table variant at scale: one sign table
+    forces a recall/granularity trade — few planes → coarse buckets →
+    O((n/2^planes)²) verify tail; many planes → borderline pairs split
+    and recall cliffs. Banding decouples them: each band can afford MANY
+    planes (fine buckets, tiny within-bucket quadratic tail) while the OR
+    across bands restores recall (1-(1-p^planes)^bands). Candidates are
+    id pairs only (vectors join back in the verify stage), so the
+    band-bucket shuffle carries no embedding payload.
+    Columns: id_a, id_b (distinct)."""
+    buckets = [
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_bucket(
+                F.col("v"), dim, band_planes, seed=seed + b
+            ).alias("bkt"),
+        )
+        for b in range(bands)
+    ]
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select("id", F.explode(F.array(*buckets)).alias("bb"))
+        .select("id", "bb.band", "bb.bkt")
+    )
+    a, c = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_banded_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    band_planes: int = 10,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded (OR-amplified) LSH:
+    candidates from :func:`lsh_banded_candidates`, exact cosine verified
+    ONLY on candidates (vectors join back by id — two broadcast-or-hash
+    equi-joins). Supersedes :func:`lsh_similar_pairs` (kept as the
+    single-table baseline) for large corpora.
+    Columns: id_a, id_b, sim."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = lsh_banded_candidates(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, bands=bands,
+        band_planes=band_planes, seed=seed,
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def label_centroids(
     df: DataFrame,
     *,

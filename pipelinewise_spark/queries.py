@@ -793,12 +793,12 @@ def ann_topk(spark, sf):
     return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
-def _plane_sql(vec: str) -> str:
+def _plane_sql(vec: str, dim: int = 64, planes: int = 6, seed: int = 42) -> str:
     """LSH bucket id in DuckDB from the SAME driver-side sign constants
     the Spark plan bakes in (ann.plane_signs — md5-derived, both engines
     see identical literals)."""
     terms = []
-    for p, signs in enumerate(ann.plane_signs(64, 6, 42)):
+    for p, signs in enumerate(ann.plane_signs(dim, planes, seed)):
         arr = "[" + ", ".join(str(s) for s in signs) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {2**p} ELSE 0 END)"
@@ -850,6 +850,49 @@ def ann_lsh_pairs(spark, sf):
     ann_similar_pairs (equi-join on hyperplane bucket, no cross product)."""
     return ann.lsh_similar_pairs(
         _t(spark, sf, "embeddings"), dim=64, num_planes=6, threshold=0.3
+    )
+
+
+_BANDS, _BAND_PLANES = 4, 10
+
+
+def _banded_bands_sql() -> str:
+    return "\n      UNION ALL\n".join(
+        f"""      SELECT vec_id, {b} AS band,
+             {_plane_sql('embedding::DOUBLE[]', 64, _BAND_PLANES, 42 + b)} AS bkt
+      FROM embeddings"""
+        for b in range(_BANDS)
+    )
+
+
+@q(
+    "ann_lsh_banded_pairs",
+    f"""
+    WITH bands AS (
+{_banded_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bands a JOIN bands c
+        ON c.band = a.band AND c.bkt = a.bkt AND a.vec_id < c.vec_id)
+    SELECT cand.id_a, cand.id_b,
+           round({_cos_sql('x.embedding::DOUBLE[]', 'y.embedding::DOUBLE[]')}, 6) AS sim
+    FROM cand
+    JOIN embeddings x ON x.vec_id = cand.id_a
+    JOIN embeddings y ON y.vec_id = cand.id_b
+    WHERE round({_cos_sql('x.embedding::DOUBLE[]', 'y.embedding::DOUBLE[]')}, 6) >= 0.3
+    """,
+)
+def ann_lsh_banded(spark, sf):
+    """OR-amplified (banded/multi-table) embedding LSH — the at-scale
+    form of ann_lsh_similar_pairs: 4 independent 10-plane sign tables
+    (1024 buckets each, tiny within-bucket quadratic tail), a pair is a
+    candidate if it collides in ANY band (recall restored by the OR),
+    exact cosine verified only on candidates. Planes stay md5-derived so
+    this DuckDB oracle embeds the identical literals (band b seeds with
+    42 + b)."""
+    return ann.lsh_banded_pairs(
+        _t(spark, sf, "embeddings"), dim=64, bands=_BANDS,
+        band_planes=_BAND_PLANES, threshold=0.3, seed=42,
     )
 
 

@@ -71,11 +71,12 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs {diffs}")
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_query_has_an_oracle():
+    """Since round 2 EVERY queries() entry carries a DuckDB oracle — the
+    strongest correctness gate the driver offers. This freezes that: a
+    new query without an oracle fails here instead of silently degrading
+    to the rows-only check."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):

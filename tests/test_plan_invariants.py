@@ -42,7 +42,8 @@ def test_j6_small_dim_broadcasts(spark):
 
 
 def test_lsh_joins_are_equijoins_not_cartesian(spark):
-    for name in ("dedup_minhash_lsh", "ann_lsh_similar_pairs", "ann_lsh_topk"):
+    for name in ("dedup_minhash_lsh", "ann_lsh_similar_pairs",
+                 "ann_lsh_banded_pairs", "ann_lsh_topk"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or \
