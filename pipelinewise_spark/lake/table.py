@@ -166,6 +166,7 @@ class LakeTable:
             "bookmarks": {},
             "applied_batch_ids": {},
             "batch_ids_evicted": {},
+            "file_stats": {},
             "summary": {},
             "properties": properties or {},
         }
@@ -295,6 +296,31 @@ class LakeTable:
 
     # ----------------------------------------------------------------- read
 
+    @staticmethod
+    def _stats_keep(manifest: dict, rel: str, stats_filter: dict) -> bool:
+        """File-skipping decision from the manifest's per-file column
+        bounds: keep unless SOME filtered column's recorded [min, max]
+        provably misses the requested [lo, hi] (either end may be None =
+        open). Files without recorded bounds are always kept — skipping
+        is an optimization, never a correctness dependency; the caller
+        still applies the row-level predicate."""
+        st = manifest.get("file_stats", {}).get(rel)
+        if not st:
+            return True
+        phys = {f["logical"]: f["physical"] for f in manifest["fields"]}
+        for col, (lo, hi) in stats_filter.items():
+            s = st.get(phys.get(col, col))
+            if not s:
+                continue
+            fmin, fmax = s
+            lo_n = _stat_value(lo) if lo is not None else None
+            hi_n = _stat_value(hi) if hi is not None else None
+            if lo_n is not None and fmax < lo_n:
+                return False
+            if hi_n is not None and fmin > hi_n:
+                return False
+        return True
+
     def read(
         self,
         buckets: list[int] | None = None,
@@ -302,6 +328,7 @@ class LakeTable:
         *,
         resolve_deltas: bool = True,
         include_tombstones: bool = False,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Read a snapshot (optionally only some buckets, optionally a
         historical ``version`` — time travel: every manifest is immutable
@@ -315,7 +342,18 @@ class LakeTable:
         last-per-key by LSN across base+delta and drops rows whose winning
         record is a tombstone (unless ``include_tombstones`` /
         soft-delete property keeps them) — exactly the merge the CoW path
-        applies at write time, deferred to read/compaction."""
+        applies at write time, deferred to read/compaction.
+
+        ``stats_filter`` — data skipping: ``{logical_col: (lo, hi)}``
+        (either end None = open; timestamps as datetime or epoch-µs int)
+        prunes files whose recorded footer bounds (manifest
+        ``file_stats``) provably miss the range — at 100 TB an
+        incremental consumer's ``_lsn > bookmark`` read opens only the
+        files written since, not every file of every bucket. PRUNES FILES
+        ONLY: the caller still applies the row-level predicate. Refused
+        on keyed tables with outstanding deltas in scope (pruning one
+        side of the last-per-key resolution could resurrect a stale row)
+        — ``compact()`` first."""
         manifest = (
             self.manifest if version is None else self.load_manifest(version)
         )
@@ -326,6 +364,14 @@ class LakeTable:
             if buckets is not None
             else sorted(set(bucket_map) | set(delta_map))
         )
+        if stats_filter and self.key_cols and resolve_deltas and any(
+            delta_map.get(k) for k in keys
+        ):
+            raise ValueError(
+                "stats_filter with outstanding merge-on-read deltas could "
+                "resurrect stale rows (last-per-key would resolve among a "
+                "pruned subset); run compact() first"
+            )
         fields = manifest["fields"]
         logical = _struct_from_fields([(f["logical"], f["type"]) for f in fields])
         physical = _struct_from_fields([(f["physical"], f["type"]) for f in fields])
@@ -335,6 +381,8 @@ class LakeTable:
                 os.path.join(self.path, rel)
                 for k in keys
                 for rel in file_map.get(k, [])
+                if not stats_filter
+                or self._stats_keep(manifest, rel, stats_filter)
             ]
             if not files:
                 return None
@@ -369,7 +417,12 @@ class LakeTable:
         return self.read()
 
     @contextlib.contextmanager
-    def scan_clustered(self, buckets: list[int] | None = None):
+    def scan_clustered(
+        self,
+        buckets: list[int] | None = None,
+        *,
+        stats_filter: dict | None = None,
+    ):
         """Storage-partitioned read: yield a DataFrame whose SCAN declares
         the table's hash-bucket layout to Catalyst —
         ``HashPartitioning(bucket_cols, num_buckets)`` — so a merge join
@@ -396,6 +449,11 @@ class LakeTable:
         deltas in the selected buckets (their resolution shuffles anyway)
         or no base files. The temp table and link dir are dropped on exit.
 
+        ``stats_filter`` (see :meth:`read`) additionally skips files whose
+        footer bounds miss the range — sound for the bucket declaration
+        (the remaining rows still hash to their declared bucket), intended
+        for read-only analytical scans; the CDC merge never passes it.
+
         Trade-off (documented): the unshuffled side is outside AQE's
         skew-join splitting. In the CDC merge the source is deduped to one
         row per key pre-join, so join skew equals bucket-size skew —
@@ -415,6 +473,7 @@ class LakeTable:
             (int(k), rel)
             for k in keys
             for rel in manifest["buckets"].get(k, [])
+            if not stats_filter or self._stats_keep(manifest, rel, stats_filter)
         ]
         if not files:
             yield None
@@ -589,6 +648,16 @@ class LakeTable:
                 evicted[pipeline_id] = evicted.get(pipeline_id, 0) + n_evict
                 abi[pipeline_id] = abi[pipeline_id][-MAX_APPLIED_BATCH_IDS:]
         lineage = self._file_lineage({**(added or {}), **(delta_added or {})})
+        # per-file column bounds: add the new files' stats, drop entries
+        # for files no longer referenced (bucket rewrites / overwrite)
+        fstats = {} if overwrite_all else dict(m.get("file_stats", {}))
+        for ent in lineage:
+            if ent.get("stats"):
+                fstats[ent["path"]] = ent["stats"]
+        referenced = {rel for fl in new_buckets.values() for rel in fl} | {
+            rel for fl in new_deltas.values() for rel in fl
+        }
+        fstats = {k: v for k, v in fstats.items() if k in referenced}
         m.update(
             version=self.version + 1,
             created_at=time.time(),
@@ -597,6 +666,7 @@ class LakeTable:
             bookmarks=bms,
             applied_batch_ids=abi,
             batch_ids_evicted=evicted,
+            file_stats=fstats,
             summary={
                 **(summary or {}),
                 "added_files": lineage,
@@ -609,30 +679,54 @@ class LakeTable:
         self.manifest = m
         return m
 
+    def stats_cols(self) -> list[str]:
+        """Logical columns whose per-file min/max bounds are recorded at
+        commit time (manifest ``file_stats``) for predicate file
+        skipping: the LSN watermark, the primary-key columns, and every
+        timestamp column — the columns incremental consumers and
+        time-bounded reads filter on. Override with the table property
+        ``stats_cols``."""
+        prop = self.manifest["properties"].get("stats_cols")
+        if prop:
+            return list(prop)
+        cols = [LSN_COL] + [k for k in self.key_cols]
+        for f in self.manifest["fields"]:
+            if f["type"] == "timestamp" and f["logical"] not in cols:
+                cols.append(f["logical"])
+        return cols
+
     def _file_lineage(self, added: dict[str, list[str]]) -> list[dict]:
         """Per-file lineage from parquet footers (cheap, driver-side):
-        bucket, rows, bytes — the engine's per-partition lineage record
-        (north rule: 'per-partition lineage + metrics')."""
+        bucket, rows, bytes, and min/max bounds of the stats columns —
+        the engine's per-partition lineage record (north rule:
+        'per-partition lineage + metrics') and the data-skipping index
+        (Iceberg's per-file column bounds)."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover
             pq = None
+        phys = {f["logical"]: f["physical"] for f in self.manifest["fields"]}
+        want = [phys[c] for c in self.stats_cols() if c in phys]
         out = []
         for b, fl in added.items():
             for rel in fl:
                 full = os.path.join(self.path, rel)
                 rows = None
+                stats: dict[str, list] = {}
                 if pq is not None:
                     try:
-                        rows = pq.ParquetFile(full).metadata.num_rows
+                        md = pq.ParquetFile(full).metadata
+                        rows = md.num_rows
+                        stats = _footer_bounds(md, want)
                     except Exception:
-                        rows = None
+                        rows, stats = None, {}
                 out.append(
                     {
                         "path": rel,
                         "bucket": int(b),
                         "rows": rows,
                         "bytes": os.path.getsize(full),
+                        "stats": stats,
                     }
                 )
         return out
@@ -812,6 +906,55 @@ class LakeTable:
                 summary={"operation": "compact", "buckets": todo,
                          "clustered": clustered},
             )
+
+
+def _stat_value(v):
+    """Normalize a parquet-footer statistic (or a user-supplied bound)
+    to a JSON-serializable, totally-ordered value: timestamps → epoch
+    microseconds (UTC), ints/floats/strs pass through, anything else
+    (binary, decimal edge cases) → None (no stats recorded → file kept,
+    the safe direction)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        return None
+    return v
+
+
+def _footer_bounds(md, want: list[str]) -> dict[str, list]:
+    """Min/max per physical column across a file's row groups, from the
+    parquet footer statistics (no data read). A column missing stats in
+    ANY row group records nothing — absent bounds never prune."""
+    if not want or md.num_row_groups == 0:
+        return {}
+    idx = {}
+    rg0 = md.row_group(0)
+    for i in range(rg0.num_columns):
+        name = rg0.column(i).path_in_schema
+        if name in want:
+            idx[name] = i
+    bounds: dict[str, list] = {}
+    for name, i in idx.items():
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _stat_value(st.min), _stat_value(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            bounds[name] = [lo, hi]
+    return bounds
 
 
 def _write_manifest(path: str, manifest: dict) -> None:

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) writes NO footer statistics for
+        # timestamps — it blocks both Spark's own ts predicate pushdown
+        # and the manifest's per-file bounds (LakeTable file skipping)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # shuffle scratch on RAM-backed storage when available — the
         # single-disk /tmp of this sandbox serializes shuffle writes; on a

@@ -127,3 +127,149 @@ def test_banded_candidates_distinct_across_bands(spark):
     df, _ = _with_planted_neardups(spark, amp=0.01)  # near-identical clones
     cands = ann.lsh_banded_candidates(df, dim=64, bands=4, band_planes=10)
     assert cands.count() == cands.distinct().count()
+
+
+# ---------------------------------------------------------------- file stats
+
+
+from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA  # noqa: E402
+from pipelinewise_spark.cdc.gen import generate_change_events  # noqa: E402
+from pipelinewise_spark.cdc.merge import merge_into  # noqa: E402
+from pipelinewise_spark.lake.table import LakeTable  # noqa: E402
+
+
+def test_stats_filter_skips_files_on_lsn(spark, tmp_path):
+    """The incremental-consumer read: after a bookmark, only files whose
+    recorded _lsn bounds intersect (bookmark, ∞) are opened — at 100 TB
+    that is the files written since, not every file of every bucket."""
+    ev = generate_change_events(spark, n_convs=30, turns_per_conv=4, n_updates=60)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=8,
+    )
+    merge_into(t, ev.where(F.col("lsn") <= 150), batch_id=0)
+    # second batch touches ONE key → one bucket rewritten; the other
+    # buckets' files keep bounds ≤ 150
+    one = (
+        ev.orderBy(F.desc("lsn")).limit(1)
+        .withColumn("lsn", F.lit(1000).cast("long"))
+    )
+    merge_into(t, one, batch_id=1)
+
+    full = t.read()
+    pruned = t.read(stats_filter={"_lsn": (151, None)})
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # skipping is file-level only — the caller's row predicate closes it
+    want = sorted(
+        (r.conv_id, r.turn_idx, r._lsn)
+        for r in full.where(F.col("_lsn") > 150).collect()
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx, r._lsn)
+        for r in pruned.where(F.col("_lsn") > 150).collect()
+    )
+    assert got == want and len(got) == 1
+
+
+def test_stats_filter_skips_files_on_timestamp(spark, tmp_path):
+    """ts-bounded read skips files via timestamp footer bounds (requires
+    TIMESTAMP_MICROS output — INT96 writes no stats; session.py pins it)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([
+        StructField("msg", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=[], num_buckets=2,
+        properties={"primary_key_required": False},
+    )
+    day = 86400
+    for i in range(3):  # three appends with disjoint day-long ts ranges
+        src = spark.range(50).select(
+            F.concat(F.lit(f"m{i}-"), F.col("id").cast("string")).alias("msg"),
+            F.timestamp_seconds(
+                F.lit(1704067200 + i * day) + F.col("id")
+            ).alias("ts"),
+            (F.col("id") + i * 1000).alias("lsn"),
+            F.lit("I").alias("op"),
+        )
+        merge_into(t, src, batch_id=i)
+    cut = datetime.datetime(2024, 1, 3, tzinfo=datetime.timezone.utc)
+    full = t.read()
+    pruned = t.read(stats_filter={"ts": (cut, None)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert (
+        pruned.where(F.col("ts") >= F.lit(cut)).count()
+        == full.where(F.col("ts") >= F.lit(cut)).count()
+        == 50
+    )
+    # range with both ends: only the middle day's files
+    mid = t.read(stats_filter={
+        "ts": (datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc),
+               datetime.datetime(2024, 1, 2, 12, tzinfo=datetime.timezone.utc))
+    })
+    assert len(mid.inputFiles()) < len(full.inputFiles())
+    assert mid.where(F.col("msg").startswith("m1-")).count() > 0
+
+
+def test_stats_filter_refused_with_outstanding_deltas(spark, tmp_path):
+    """Pruning one side of last-per-key resolution could resurrect a
+    stale row → refused until compact() folds the deltas."""
+    import pytest
+
+    ev = generate_change_events(spark, n_convs=10, turns_per_conv=3, n_updates=20)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4,
+    )
+    merge_into(t, ev.where(F.col("lsn") <= 30), batch_id=0, mode="mor")
+    with pytest.raises(ValueError, match="compact"):
+        t.read(stats_filter={"_lsn": (10, None)})
+    t.compact()
+    assert t.read(stats_filter={"_lsn": (10, None)}).count() > 0
+
+
+def test_stats_survive_compaction_and_gc(spark, tmp_path):
+    """Compaction rewrites buckets: new files get fresh bounds, dropped
+    files leave the stats map (no unbounded manifest growth)."""
+    ev = generate_change_events(spark, n_convs=20, turns_per_conv=3, n_updates=40)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4,
+    )
+    merge_into(t, ev.where(F.col("lsn") <= 50), batch_id=0)
+    merge_into(t, ev.where(F.col("lsn") > 50), batch_id=1)
+    t.compact(max_files_per_bucket=0)
+    live = {rel for fl in t.manifest["buckets"].values() for rel in fl} | {
+        rel for fl in t.manifest.get("deltas", {}).values() for rel in fl
+    }
+    assert set(t.manifest["file_stats"]) <= live
+    assert t.manifest["file_stats"], "compacted files must carry bounds"
+
+
+def test_scan_clustered_stats_filter(spark, tmp_path):
+    """The bucketed read-only scan skips files too (bucket declaration
+    stays sound: remaining rows still hash to their declared bucket)."""
+    ev = generate_change_events(spark, n_convs=30, turns_per_conv=4, n_updates=60)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=8,
+    )
+    merge_into(t, ev.where(F.col("lsn") <= 150), batch_id=0)
+    one = (
+        ev.orderBy(F.desc("lsn")).limit(1)
+        .withColumn("lsn", F.lit(1000).cast("long"))
+    )
+    merge_into(t, one, batch_id=1)
+    with t.scan_clustered() as full:
+        n_full = full.count()
+    with t.scan_clustered(stats_filter={"_lsn": (151, None)}) as pruned:
+        assert pruned is not None
+        assert pruned.where(F.col("_lsn") > 150).count() == 1
+        assert pruned.count() < n_full
