@@ -240,6 +240,7 @@ class MultiStreamPipeline:
         *,
         stream_col: str = "stream",
         snapshot_provider: Any = None,
+        max_concurrency: int = 4,
     ):
         # the dict key is the stream-column VALUE the batch splits on,
         # and each pipeline filters RECORDs / commits bookmarks under its
@@ -253,6 +254,15 @@ class MultiStreamPipeline:
                 )
         self.pipelines = pipelines
         self.stream_col = stream_col
+        #: how many streams' merges run concurrently per micro-batch.
+        #: Safe because streams write DISJOINT tables (own manifest, own
+        #: optimistic-concurrency commit) and Spark schedules actions
+        #: from multiple driver threads natively; with dozens of streams
+        #: per log, one slow stream no longer serializes the rest (the
+        #: reference's loop is sequential, target_postgres/__init__.py:
+        #: 285-294 — that is a single-connection constraint Spark does
+        #: not have). 1 = sequential.
+        self.max_concurrency = max(1, int(max_concurrency))
         #: Callable[[stream], (snapshot DataFrame, lsn0)] — the reference's
         #: fastsync/singer routing (``cli/pipelinewise.py:172-368``): a
         #: stream with NO committed bookmark goes through bulk initial load
@@ -287,10 +297,47 @@ class MultiStreamPipeline:
         # would otherwise re-scan the whole micro-batch per stream
         df = df.persist()
         try:
-            results = {}
-            for stream, pipe in self.pipelines.items():
+            streams = list(self.pipelines)
+            if self.max_concurrency == 1 or len(streams) == 1:
+                return {
+                    s: self.pipelines[s].apply_batch(
+                        df.where(df[self.stream_col] == s), batch_id=batch_id
+                    )
+                    for s in streams
+                }
+            # overlap the per-stream merges: disjoint tables, independent
+            # commits, so failures stay stream-scoped. If any stream
+            # fails, the others still finish (and commit) — the re-raised
+            # error makes the engine retry the batch, where committed
+            # streams no-op via their batch-id guard (exactly-once holds).
+            from concurrent.futures import ThreadPoolExecutor
+
+            results: dict[str, dict] = {}
+            errors: dict[str, BaseException] = {}
+
+            def _one(stream: str):
                 part = df.where(df[self.stream_col] == stream)
-                results[stream] = pipe.apply_batch(part, batch_id=batch_id)
+                return self.pipelines[stream].apply_batch(
+                    part, batch_id=batch_id
+                )
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.max_concurrency, len(streams)),
+                thread_name_prefix="pw-stream",
+            ) as pool:
+                futures = {s: pool.submit(_one, s) for s in streams}
+                for s, fut in futures.items():
+                    try:
+                        results[s] = fut.result()
+                    except BaseException as e:  # noqa: BLE001 — re-raised
+                        errors[s] = e
+            if errors:
+                first = next(iter(errors))
+                raise RuntimeError(
+                    f"{len(errors)} stream merge(s) failed "
+                    f"({sorted(errors)}); committed streams will skip on "
+                    f"replay via their batch-id guard"
+                ) from errors[first]
             return results
         finally:
             df.unpersist()

@@ -416,6 +416,20 @@ class LakeTable:
     def to_df(self) -> DataFrame:
         return self.read()
 
+    def changes_since(self, lsn: int, **read_kw) -> DataFrame:
+        """Incremental-consumer read: current-state rows whose ``_lsn``
+        is past the given watermark (a downstream pipeline's bookmark).
+        File skipping does the heavy lifting — only files whose recorded
+        ``_lsn`` bounds reach past the watermark are opened (at 100 TB:
+        the files written since, not the table) — and the row predicate
+        closes the filter exactly. This is a STATE-diff feed (one row per
+        key at its latest state, tombstones visible only on soft-delete
+        tables), the same downstream contract the reference's targets
+        give consumers polling ``_sdc_*`` columns."""
+        return self.read(
+            stats_filter={LSN_COL: (int(lsn) + 1, None)}, **read_kw
+        ).where(F.col(LSN_COL) > int(lsn))
+
     @contextlib.contextmanager
     def scan_clustered(
         self,

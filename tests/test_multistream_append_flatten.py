@@ -160,3 +160,78 @@ def test_canonicalization_exprs(spark):
     assert r["lsn"] == (0x16 << 32) + 0xB374D848
     assert r["mylsn"] == (5 << 32) + 4
     assert str(r["safe"]).startswith("9999-12-31")
+
+
+def test_multistream_parallel_matches_sequential(spark, tmp_path):
+    """max_concurrency>1 overlaps the per-stream merges (disjoint
+    tables); final state must equal the sequential loop's."""
+    evs = [
+        generate_change_events(
+            spark, n_convs=6, turns_per_conv=3, n_updates=15,
+            stream=s, seed=i + 1, delete_pct=10,
+        )
+        for i, s in enumerate("abcd")
+    ]
+    both = evs[0]
+    for e in evs[1:]:
+        both = both.unionByName(e)
+
+    def build(prefix, conc):
+        tables = {
+            s: LakeTable.create(
+                spark, str(tmp_path / f"{prefix}{s}"), TRANSCRIPT_SCHEMA,
+                TRANSCRIPT_KEY, num_buckets=2,
+            )
+            for s in "abcd"
+        }
+        multi = MultiStreamPipeline(
+            {s: CdcPipeline(t, stream=s) for s, t in tables.items()},
+            max_concurrency=conc,
+        )
+        return tables, multi
+
+    tseq, mseq = build("s", 1)
+    tpar, mpar = build("p", 4)
+    rs = mseq.apply_batch(both, batch_id=0)
+    rp = mpar.apply_batch(both, batch_id=0)
+    for s in "abcd":
+        for k in ("inserted", "updated", "deleted"):
+            assert rs[s][k] == rp[s][k], (s, k)
+        rows = lambda t: sorted(  # noqa: E731
+            (r.conv_id, r.turn_idx, r.text, r._lsn) for r in t.read().collect()
+        )
+        assert rows(tseq[s]) == rows(tpar[s]), s
+        assert tseq[s].bookmarks[s] == tpar[s].bookmarks[s]
+
+
+def test_multistream_parallel_failure_isolated_and_replay_noops(spark, tmp_path):
+    """One stream failing must not block the others' commits; the retried
+    batch no-ops the committed streams via their batch-id guard."""
+    import pytest
+
+    ev_a = generate_change_events(
+        spark, n_convs=5, turns_per_conv=2, n_updates=8, stream="a"
+    )
+    ev_b = generate_change_events(
+        spark, n_convs=5, turns_per_conv=2, n_updates=8, stream="b", seed=3
+    )
+    # poison stream b: null PK → its merge raises pre-commit
+    bad_b = ev_b.withColumn("conv_id", F.lit(None).cast("string"))
+    ta = LakeTable.create(spark, str(tmp_path / "fa"), TRANSCRIPT_SCHEMA,
+                          TRANSCRIPT_KEY, num_buckets=2)
+    tb = LakeTable.create(spark, str(tmp_path / "fb"), TRANSCRIPT_SCHEMA,
+                          TRANSCRIPT_KEY, num_buckets=2)
+    multi = MultiStreamPipeline(
+        {"a": CdcPipeline(ta, stream="a"), "b": CdcPipeline(tb, stream="b")},
+        max_concurrency=2,
+    )
+    with pytest.raises(RuntimeError, match="stream merge"):
+        multi.apply_batch(ev_a.unionByName(bad_b), batch_id=0)
+    ta.refresh(), tb.refresh()
+    assert ta.bookmarks.get("a"), "healthy stream must have committed"
+    assert not tb.bookmarks.get("b"), "poisoned stream must not commit"
+    # retry with the fixed batch: a skips (batch id), b applies
+    res = multi.apply_batch(ev_a.unionByName(ev_b), batch_id=0)
+    assert res["a"].get("skipped") is True
+    assert res["b"]["inserted"] > 0
+    assert tb.read().count() > 0

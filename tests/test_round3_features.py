@@ -273,3 +273,23 @@ def test_scan_clustered_stats_filter(spark, tmp_path):
         assert pruned is not None
         assert pruned.where(F.col("_lsn") > 150).count() == 1
         assert pruned.count() < n_full
+
+
+def test_changes_since_state_diff_feed(spark, tmp_path):
+    """changes_since(bookmark) = exactly the rows whose latest state was
+    written past the watermark, served through file skipping."""
+    ev = generate_change_events(spark, n_convs=20, turns_per_conv=3, n_updates=40)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=8,
+    )
+    merge_into(t, ev.where(F.col("lsn") <= 60), batch_id=0)
+    mark = t.bookmarks["default"]["lsn"]
+    merge_into(t, ev.where(F.col("lsn") > 60), batch_id=1)
+    inc = t.changes_since(mark)
+    want = t.read().where(F.col("_lsn") > mark)
+    assert sorted((r.conv_id, r.turn_idx, r._lsn) for r in inc.collect()) == sorted(
+        (r.conv_id, r.turn_idx, r._lsn) for r in want.collect()
+    )
+    assert inc.count() > 0
+    assert len(inc.inputFiles()) <= len(t.read().inputFiles())
