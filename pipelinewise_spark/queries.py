@@ -1082,3 +1082,61 @@ def multimodal_features(spark, sf):
             "features_str"
         ),
     )
+
+
+_LAKE_CHANGES_SQL = """
+    WITH mark AS (
+      SELECT CAST(max(event_id) * 0.6 AS BIGINT) AS m FROM events),
+    last AS (
+      SELECT user_id, event_id AS last_lsn, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, last_lsn, value AS last_value
+    FROM last, mark
+    WHERE rn = 1 AND event_type <> 'error' AND last_lsn > mark.m
+"""
+
+
+@q("lake_merge_changes_since", _LAKE_CHANGES_SQL)
+def lake_changes(spark, sf):
+    """END-TO-END lake machinery under the oracle gate (not a DataFrame
+    fold): the events table replays as a two-batch change stream through
+    the REAL merge path — LakeTable.create → merge_into (LSN-ordered
+    dedup, hard deletes on event_type='error', bookmark commit) →
+    changes_since(bookmark) served through per-file _lsn bounds (file
+    skipping). The oracle is the equivalent pure-SQL fold: rows whose
+    last event is past the watermark and not a delete. Reference analog:
+    target load + the consumer polling _sdc_* columns past its own
+    bookmark (target_postgres/db_sync.py:359-431 + binlog.py:519-543)."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("value"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    mark = int(ev.agg(F.max("lsn") * 0.6).collect()[0][0])
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    d = tempfile.mkdtemp(prefix="pw-q-lake-")
+    t = LakeTable.create(spark, d + "/t", schema, ["user_id"], num_buckets=8)
+    merge_into(t, ev.where(F.col("lsn") <= mark), batch_id=0)
+    merge_into(t, ev.where(F.col("lsn") > mark), batch_id=1)
+    return t.changes_since(mark).select(
+        "user_id",
+        F.col("_lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+    )
