@@ -1140,3 +1140,69 @@ def lake_changes(spark, sf):
         F.col("_lsn").alias("last_lsn"),
         F.col("value").alias("last_value"),
     )
+
+
+_MONGO_FOLD_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS _id,
+           (1700000000 + event_id // 100) * 4294967296 + event_id % 100
+             AS last_lsn,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@q("s14_mongo_fold", _MONGO_FOLD_SQL)
+def s14_mongo(spark, sf):
+    """S14 — MongoDB change streams, end-to-end decode: the events table
+    is rendered as relaxed-extended-JSON change-stream lines (insert /
+    update-with-updateLookup / delete, BSON clusterTime, resume token),
+    decoded by sources/mongo.decode_change_stream (one from_json per
+    line), LSN = (clusterTime.t << 32) | i, folded last-per-_id with
+    hard deletes dropped. The oracle computes the same fold from the raw
+    columns — any decode drift (op mapping, LSN arithmetic, document
+    payload) breaks the hash. Reference: tap_mongodb
+    sync_strategies/change_streams.py:73-240, common.py:213-214."""
+    from pipelinewise_spark.sources import mongo
+
+    ev = _t(spark, sf, "events")
+    t = (F.lit(1700000000) + (F.col("event_id") / 100).cast("long")).alias("t")
+    i = F.pmod(F.col("event_id"), F.lit(100)).cast("long").alias("i")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("_id"),
+            F.col("value").alias("value"),
+        )
+    )
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lpad(F.hex("event_id"), 16, "0").alias("_data")
+                ).alias("_id"),
+                F.when(F.col("event_type") == "signup", "insert")
+                .when(F.col("event_type") == "error", "delete")
+                .otherwise("update")
+                .alias("operationType"),
+                F.struct(F.struct(t, i).alias("$timestamp")).alias("clusterTime"),
+                F.struct(
+                    F.lit("app").alias("db"), F.lit("events").alias("coll")
+                ).alias("ns"),
+                F.struct(F.col("user_id").cast("string").alias("_id")).alias(
+                    "documentKey"
+                ),
+                F.when(F.col("event_type") != "error", doc).alias("fullDocument"),
+            )
+        ).alias("value")
+    )
+    decoded = mongo.decode_change_stream(lines)
+    last = latest_per_key(decoded, ["_id"], lsn_col="lsn")
+    return last.where(F.col("op") != "D").select(
+        "_id",
+        F.col("lsn").alias("last_lsn"),
+        F.get_json_object("document", "$.value").cast("double").alias("last_value"),
+    )

@@ -293,3 +293,85 @@ def test_changes_since_state_diff_feed(spark, tmp_path):
     )
     assert inc.count() > 0
     assert len(inc.inputFiles()) <= len(t.read().inputFiles())
+
+
+# ------------------------------------------------------------ S14 mongo
+
+
+def _mongo_lines(spark, rows):
+    """rows: (op, _id, t, i, full_doc_json_or_None, token)"""
+    import json
+
+    def line(op, _id, t, i, doc, token):
+        d = {
+            "_id": {"_data": token},
+            "operationType": op,
+            "clusterTime": {"$timestamp": {"t": t, "i": i}},
+            "ns": {"db": "app", "coll": "c"},
+            "documentKey": {"_id": _id},
+        }
+        if doc is not None:
+            d["fullDocument"] = doc
+        return (json.dumps(d),)
+
+    return spark.createDataFrame([line(*r) for r in rows], "value string")
+
+
+def test_mongo_decode_and_lsn(spark):
+    from pipelinewise_spark.sources import mongo
+
+    lines = _mongo_lines(spark, [
+        ("insert", "a", 100, 2, '{"_id":"a","v":1}', "0a"),
+        ("delete", "a", 100, 3, None, "0b"),
+        ("drop", "x", 100, 4, None, "0c"),  # non-CRUD ops filtered out
+    ])
+    got = {r._id: r for r in mongo.decode_change_stream(lines).collect()}
+    assert set(got) == {"a"}  # the drop line is gone; both a-events fold later
+    rows = mongo.decode_change_stream(lines).orderBy("lsn").collect()
+    assert [r.op for r in rows] == ["I", "D"]
+    assert rows[0].lsn == (100 << 32) + 2 and rows[1].lsn == (100 << 32) + 3
+    assert rows[0].stream == "app-c" and rows[0].document == '{"_id":"a","v":1}'
+    assert rows[1].document is None
+
+
+def test_mongo_update_buffer_semantics(spark):
+    """Reference change_streams.py:156-164: a non-lookup update queues
+    its _id for a flush-time fetch; a LATER delete of the same _id
+    discards it from the buffer; lookup updates (fullDocument present)
+    never queue."""
+    from pipelinewise_spark.sources import mongo
+
+    lines = _mongo_lines(spark, [
+        ("update", "a", 10, 1, None, "01"),            # needs fetch
+        ("update", "b", 10, 2, None, "02"),            # deleted later
+        ("delete", "b", 10, 3, None, "03"),
+        ("update", "c", 10, 4, '{"_id":"c","v":9}', "04"),  # lookup mode
+    ])
+    decoded = mongo.decode_change_stream(lines)
+    fetch = mongo.updates_requiring_fetch(decoded)
+    assert [r._id for r in fetch.collect()] == ["a"]
+    # flush-time fetch joins the current doc back in
+    docs = spark.createDataFrame(
+        [("app-c", "a", '{"_id":"a","v":7}')], "stream string, _id string, document string"
+    )
+    filled = mongo.apply_update_lookups(decoded, docs)
+    by_id = {(r._id, r.lsn): r.document for r in filled.collect()}
+    assert by_id[("a", (10 << 32) + 1)] == '{"_id":"a","v":7}'
+    assert by_id[("c", (10 << 32) + 4)] == '{"_id":"c","v":9}'  # kept
+    assert by_id[("b", (10 << 32) + 3)] is None  # delete stays bare
+
+
+def test_mongo_min_restart_token(spark):
+    from pipelinewise_spark.sources import mongo
+
+    lines = _mongo_lines(spark, [
+        ("insert", "a", 1, 1, "{}", "0a"),
+        ("insert", "b", 1, 2, "{}", "0f"),  # stream app-c max = 0f
+    ])
+    d1 = mongo.decode_change_stream(lines)
+    # second stream, further ahead
+    d2 = d1.withColumn("stream", F.lit("app-d")).withColumn(
+        "token", F.concat(F.lit("1"), F.col("token"))
+    )
+    tok = mongo.min_restart_token(d1.unionByName(d2)).collect()[0][0]
+    assert tok == "0f"  # min across per-stream maxes (laggard stream)
