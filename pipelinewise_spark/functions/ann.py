@@ -285,6 +285,73 @@ def lsh_banded_pairs(
     )
 
 
+def kmeans_cells(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column — the REAL
+    coarse quantizer for the IVF index (:func:`ivf_topk` previously used
+    the provided label column as cells; at 100 TB the cells come from
+    exactly this: a few assignment+mean passes with centroids collected
+    driver-side between iterations, k·dim doubles each — the canonical
+    Spark iterative-algorithm shape).
+
+    Deterministic and ORACLE-REPLICABLE by construction:
+    - init = the k vectors with smallest ``(md5(id), id)`` (arbitrary but
+      engine-independent spread), cell ids 0..k-1 in that order;
+    - distances are squared-euclidean via dot products, ROUNDED to 6
+      decimals before the argmin (ties break on cell id), and new
+      centroids are per-dimension means rounded to 6 — so both engines
+      carry bit-identical centroid literals into the next iteration.
+
+    Returns (id_col, cell). One job per iteration: broadcast-literal
+    argmin (no join) + one groupBy mean."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seed_rows = (
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+
+    def assign(cents):
+        v_dot = dot(F.col("v"), F.col("v"))
+        opts = []
+        for c, cv in enumerate(cents):
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            cc = float(sum(x * x for x in cv))
+            d2 = F.round(v_dot + F.lit(cc) - 2.0 * dot(F.col("v"), arr), 6)
+            opts.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
+        return base.select(
+            "id", "v", F.array_min(F.array(*opts))["c"].alias("cell")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iters - 1):
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("idx", "x"))
+            .groupBy("cell", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("s")
+            )
+            .select("cell", F.transform("s", lambda t: t["m"]).alias("cv"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["cv"]) for r in means}
+        centroids = [by_cell.get(c, centroids[c]) for c in range(k)]
+        assigned = assign(centroids)
+    return assigned.select(F.col("id").alias(id_col), "cell")
+
+
 def label_centroids(
     df: DataFrame,
     *,

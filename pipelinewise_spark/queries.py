@@ -1206,3 +1206,46 @@ def s14_mongo(spark, sf):
         F.col("lsn").alias("last_lsn"),
         F.get_json_object("document", "$.value").cast("double").alias("last_value"),
     )
+
+
+def _kmeans_assign_sql(cents: str) -> str:
+    d2 = (
+        "round(list_dot_product(b.v, b.v) + list_dot_product(c.v, c.v)"
+        " - 2 * list_dot_product(b.v, c.v), 6)"
+    )
+    return f"""
+      SELECT id, v, cell FROM (
+        SELECT b.id, b.v, c.cell,
+               row_number() OVER (PARTITION BY b.id
+                                  ORDER BY {d2}, c.cell) AS rn
+        FROM base b CROSS JOIN {cents} c) WHERE rn = 1"""
+
+
+_KMEANS_SQL = f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT rn - 1 AS cell, v FROM (
+        SELECT v, row_number() OVER (
+          ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        FROM base) WHERE rn <= 8),
+    a0 AS ({_kmeans_assign_sql('init')}),
+    m1 AS (
+      SELECT cell, u.idx, round(avg(u.x), 6) AS m
+      FROM (SELECT cell, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS idx FROM a0) u(cell, x, idx)
+      GROUP BY cell, u.idx),
+    c1 AS (SELECT cell, list(m ORDER BY idx) AS v FROM m1 GROUP BY cell),
+    a1 AS ({_kmeans_assign_sql('c1')})
+    SELECT id AS vec_id, cell FROM a1
+"""
+
+
+@q("ann_ivf_kmeans_cells", _KMEANS_SQL)
+def ann_kmeans(spark, sf):
+    """The IVF coarse quantizer as a REAL k-means (2 deterministic Lloyd
+    iterations, md5-spread init, distances and means rounded to 6 so
+    both engines iterate on identical centroid literals) — upgrades
+    ann_ivf_* from label-defined cells to data-defined cells. The oracle
+    replays the identical iterations in pure SQL."""
+    return ann.kmeans_cells(_t(spark, sf, "embeddings"), k=8, iters=2)

@@ -375,3 +375,28 @@ def test_mongo_min_restart_token(spark):
     )
     tok = mongo.min_restart_token(d1.unionByName(d2)).collect()[0][0]
     assert tok == "0f"  # min across per-stream maxes (laggard stream)
+
+
+def test_kmeans_cells_feed_ivf_topk(spark):
+    """Integration: data-defined k-means cells replace the label column
+    as the IVF partitioning — ivf_topk over them returns k neighbors
+    per query, and every cell is non-trivial (the quantizer actually
+    partitions, no degenerate all-in-one-cell split)."""
+    emb = _emb(spark)
+    cells = ann.kmeans_cells(emb, k=8, iters=2)
+    sizes = [r["n"] for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 2 and max(sizes) < emb.count()
+    corpus = emb.join(cells, "vec_id").withColumnRenamed("cell", "kcell")
+    topk = ann.ivf_topk(
+        corpus, corpus.where(F.col("vec_id") < 4), label_col="kcell",
+        k=3, n_probe=2,
+    )
+    rows = topk.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_kmeans_cells_deterministic(spark):
+    c1 = {(r.vec_id, r.cell) for r in ann.kmeans_cells(_emb(spark), k=8, iters=2).collect()}
+    c2 = {(r.vec_id, r.cell) for r in ann.kmeans_cells(_emb(spark), k=8, iters=2).collect()}
+    assert c1 == c2
