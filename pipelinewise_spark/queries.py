@@ -1249,3 +1249,65 @@ def ann_kmeans(spark, sf):
     ann_ivf_* from label-defined cells to data-defined cells. The oracle
     replays the identical iterations in pure SQL."""
     return ann.kmeans_cells(_t(spark, sf, "embeddings"), k=8, iters=2)
+
+
+_EVOLUTION_SQL = """
+    WITH mark AS (
+      SELECT CAST(max(event_id) * 0.5 AS BIGINT) AS m FROM events),
+    last AS (
+      SELECT user_id, event_id AS lsn, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, lsn AS last_lsn, value AS last_value,
+           CASE WHEN lsn > (SELECT m FROM mark) THEN props END AS props
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@q("t8_evolution_mixed_era", _EVOLUTION_SQL)
+def t8_evolution(spark, sf):
+    """T8 under the oracle gate, through the REAL machinery: batch 1
+    merges WITHOUT the props column, LakeTable.evolve adds it (a
+    metadata-only commit — zero rewrite), batch 2 merges WITH it; the
+    final read serves mixed-era files, backfilling NULL where the
+    physical column never existed — the same ADD COLUMN backfill the
+    reference's targets get from the warehouse (target_postgres/
+    db_sync.py:539-549, 583-596). The oracle folds the raw events with
+    the equivalent era rule: props visible only when the winning event
+    postdates the evolution point."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id"),
+        F.col("value"),
+        F.col("props"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    mark = int(ev.agg(F.max("lsn") * 0.5).collect()[0][0])
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    d = tempfile.mkdtemp(prefix="pw-q-evolve-")
+    t = LakeTable.create(spark, d + "/t", schema, ["user_id"], num_buckets=8)
+    merge_into(t, ev.where(F.col("lsn") <= mark).drop("props"), batch_id=0)
+    t.evolve([{"action": "add_column", "name": "props",
+               "type": "string"}])
+    merge_into(t, ev.where(F.col("lsn") > mark), batch_id=1)
+    return t.read().select(
+        "user_id",
+        F.col("_lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+        "props",
+    )
