@@ -101,3 +101,54 @@ def test_random_sequences_match_oracle(spark, tmp_path_factory, events, soft, sp
         else:
             assert actual[k]["text"] == exp["text"], k
             assert actual[k]["_sdc_deleted_at"] is None
+
+
+# -------------------------- property-based file-skipping soundness --------
+
+
+@pytest.fixture(scope="module")
+def skipping_table(spark, tmp_path_factory):
+    """One table, three merges with staggered LSN ranges → files with
+    varied _lsn bounds; plus the full row set collected once."""
+    from pipelinewise_spark.cdc.gen import generate_change_events
+
+    d = tmp_path_factory.mktemp("skip")
+    ev = generate_change_events(spark, n_convs=25, turns_per_conv=4, n_updates=60)
+    t = LakeTable.create(
+        spark, str(d / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY, num_buckets=8
+    )
+    for i, (lo, hi) in enumerate([(0, 80), (80, 160), (160, 10**9)]):
+        merge_into(t, ev.where((F.col("lsn") > lo) & (F.col("lsn") <= hi)), batch_id=i)
+    rows = {(r.conv_id, r.turn_idx, r._lsn) for r in t.read().collect()}
+    return t, rows
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lo=st.one_of(st.none(), st.integers(min_value=-5, max_value=260)),
+    hi=st.one_of(st.none(), st.integers(min_value=-5, max_value=260)),
+)
+def test_stats_pruned_read_equals_full_read_under_predicate(
+    skipping_table, lo, hi
+):
+    """SOUNDNESS of data skipping, property-based: for ANY [lo, hi]
+    bound (open ends included), the stats-pruned read filtered by the
+    row predicate equals the full row set filtered the same way — file
+    skipping may only remove files that provably hold no matching row."""
+    t, rows = skipping_table
+    pruned = t.read(stats_filter={"_lsn": (lo, hi)})
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col("_lsn") >= lo)
+    if hi is not None:
+        pred = pred & (F.col("_lsn") <= hi)
+    got = {
+        (r.conv_id, r.turn_idx, r._lsn)
+        for r in pruned.where(pred).collect()
+    }
+    want = {
+        (c, ti, lsn) for (c, ti, lsn) in rows
+        if (lo is None or lsn >= lo) and (hi is None or lsn <= hi)
+    }
+    assert got == want
