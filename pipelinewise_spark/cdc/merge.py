@@ -57,6 +57,16 @@ class NullKeyError(ValueError):
     reference's warehouse targets reject this with a PK constraint."""
 
 
+def _any_null_key(key_cols: list[str], prefix: str = ""):
+    """OR-fold of ``IS NULL`` over the key columns (the pre-commit
+    rejection predicate — one definition for both merge paths)."""
+    cond = None
+    for k in key_cols:
+        c = F.col(f"{prefix}{k}").isNull()
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 class ExactlyOnceWindowError(RuntimeError):
     """The bounded applied-batch-id window has evicted ids AND the LSN
     bookmark backstop is unavailable (``filter_applied_lsn=False``, or a
@@ -170,12 +180,18 @@ def _merge_once(
     scale). ``True`` forces it, ``False`` forces the plain read."""
     if batch_id is not None and batch_id in table.applied_batch_ids(pipeline_id):
         return {"skipped": True, "batch_id": batch_id}
-    if not filter_applied_lsn and table.batch_ids_evicted(pipeline_id):
+    if (
+        batch_id is not None
+        and not filter_applied_lsn
+        and table.batch_ids_evicted(pipeline_id)
+    ):
         # The batch-id set is a BOUNDED window (lake/table.py
         # MAX_APPLIED_BATCH_IDS); once ids have been evicted, a replay
         # older than the window is only caught by the LSN bookmark
         # filter. With that backstop disabled exactly-once is no longer
         # provable — fail instead of silently risking a double-apply.
+        # (batch_id=None callers never claimed the window's protection —
+        # a deliberate unguarded re-apply stays allowed.)
         raise ExactlyOnceWindowError(
             f"filter_applied_lsn=False but "
             f"{table.batch_ids_evicted(pipeline_id)} batch id(s) of "
@@ -255,10 +271,7 @@ def _merge_once(
         prepared = src.drop("__op", "__s_exists").withColumn(
             "_bucket", table.bucket_expr()
         )
-        null_key = None
-        for k in key_cols:
-            c = F.col(k).isNull()
-            null_key = c if null_key is None else (null_key | c)
+        null_key = _any_null_key(key_cols)
         obs = Observation("mor")
         observed = prepared.observe(
             obs,
@@ -383,7 +396,11 @@ def _merge_cow(
     # null-key source row fails the merge BEFORE commit (observe-counted
     # on the write pass, zero extra scan), so target rows, which are
     # only ever written by this merge / the same-checked paths, can
-    # never carry a null key either.
+    # never carry a null key either. (A table written by a PRE-check
+    # engine version could hold legacy null-key rows that == can never
+    # match — they would be carried forever; audit with
+    # ``table.read().where(<key>.isNull()).count()`` and rewrite via
+    # ``overwrite`` once if found.)
     cond = None
     for k in key_cols:
         c = F.col(f"s.{k}") == F.col(f"t.{k}")
@@ -416,10 +433,7 @@ def _merge_cow(
             .otherwise(F.col(f"s.{c}"))
             .alias(c)
         )
-    s_null_key = None
-    for k in key_cols:
-        c = F.col(f"s.{k}").isNull()
-        s_null_key = c if s_null_key is None else (s_null_key | c)
+    s_null_key = _any_null_key(key_cols, "s.")
     projected = joined.select(
         *out_cols,
         action.alias("__action"),
@@ -518,10 +532,15 @@ def _append_only(
     """J4 — no-PK append: rows land under a content-hash bucket; no
     target read, no join, no bucket replacement (pure file add), so the
     commit is O(batch) regardless of table size."""
-    if lsn_col not in source.columns and table.batch_ids_evicted(pipeline_id):
+    if (
+        batch_id is not None
+        and lsn_col not in source.columns
+        and table.batch_ids_evicted(pipeline_id)
+    ):
         # keyless + no lsn column = no bookmark backstop; once batch ids
         # have been evicted from the bounded window, exactly-once is
-        # unprovable for old replays — refuse (see ExactlyOnceWindowError)
+        # unprovable for old replays — refuse (see ExactlyOnceWindowError;
+        # batch_id=None callers never claimed the guard, stays allowed)
         raise ExactlyOnceWindowError(
             f"append-only source has no {lsn_col!r} column and "
             f"{table.batch_ids_evicted(pipeline_id)} batch id(s) of "

@@ -319,16 +319,18 @@ def kmeans_cells(
         .limit(k)
         .collect()
     )
-    centroids = [list(r["v"]) for r in seed_rows]
+    # (cell_id, vector) pairs; a corpus smaller than k just seeds fewer
+    # cells (same as the oracle's rn <= k over the available rows)
+    centroids = [(c, list(r["v"])) for c, r in enumerate(seed_rows)]
 
     def assign(cents):
         v_dot = dot(F.col("v"), F.col("v"))
         opts = []
-        for c, cv in enumerate(cents):
+        for cell_id, cv in cents:
             arr = F.array(*[F.lit(float(x)) for x in cv])
             cc = float(sum(x * x for x in cv))
             d2 = F.round(v_dot + F.lit(cc) - 2.0 * dot(F.col("v"), arr), 6)
-            opts.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
+            opts.append(F.struct(d2.alias("d"), F.lit(cell_id).alias("c")))
         return base.select(
             "id", "v", F.array_min(F.array(*opts))["c"].alias("cell")
         )
@@ -346,8 +348,10 @@ def kmeans_cells(
             .select("cell", F.transform("s", lambda t: t["m"]).alias("cv"))
             .collect()
         )
-        by_cell = {r["cell"]: list(r["cv"]) for r in means}
-        centroids = [by_cell.get(c, centroids[c]) for c in range(k)]
+        # a cell that lost all members is DROPPED from the candidate set
+        # (not carried) — identical to the oracle's GROUP BY-derived
+        # centroid table, which is the determinism contract
+        centroids = sorted((r["cell"], list(r["cv"])) for r in means)
         assigned = assign(centroids)
     return assigned.select(F.col("id").alias(id_col), "cell")
 

@@ -297,24 +297,37 @@ class LakeTable:
     # ----------------------------------------------------------------- read
 
     @staticmethod
-    def _stats_keep(manifest: dict, rel: str, stats_filter: dict) -> bool:
+    def _normalize_stats_filter(manifest: dict, stats_filter: dict) -> dict:
+        """Translate a user ``{logical_col: (lo, hi)}`` filter to
+        ``{physical_col: (lo_norm, hi_norm)}`` ONCE per read — the
+        per-file loop below runs over potentially huge file counts and
+        must do dictionary lookups only."""
+        phys = {f["logical"]: f["physical"] for f in manifest["fields"]}
+        return {
+            phys.get(col, col): (
+                _stat_value(lo) if lo is not None else None,
+                _stat_value(hi) if hi is not None else None,
+            )
+            for col, (lo, hi) in stats_filter.items()
+        }
+
+    @staticmethod
+    def _stats_keep(manifest: dict, rel: str, norm_filter: dict) -> bool:
         """File-skipping decision from the manifest's per-file column
         bounds: keep unless SOME filtered column's recorded [min, max]
         provably misses the requested [lo, hi] (either end may be None =
         open). Files without recorded bounds are always kept — skipping
         is an optimization, never a correctness dependency; the caller
-        still applies the row-level predicate."""
+        still applies the row-level predicate. ``norm_filter`` comes
+        from :meth:`_normalize_stats_filter`."""
         st = manifest.get("file_stats", {}).get(rel)
         if not st:
             return True
-        phys = {f["logical"]: f["physical"] for f in manifest["fields"]}
-        for col, (lo, hi) in stats_filter.items():
-            s = st.get(phys.get(col, col))
+        for col, (lo_n, hi_n) in norm_filter.items():
+            s = st.get(col)
             if not s:
                 continue
             fmin, fmax = s
-            lo_n = _stat_value(lo) if lo is not None else None
-            hi_n = _stat_value(hi) if hi is not None else None
             if lo_n is not None and fmax < lo_n:
                 return False
             if hi_n is not None and fmin > hi_n:
@@ -375,14 +388,19 @@ class LakeTable:
         fields = manifest["fields"]
         logical = _struct_from_fields([(f["logical"], f["type"]) for f in fields])
         physical = _struct_from_fields([(f["physical"], f["type"]) for f in fields])
+        norm_filter = (
+            self._normalize_stats_filter(manifest, stats_filter)
+            if stats_filter
+            else None
+        )
 
         def _load(file_map) -> DataFrame | None:
             files = [
                 os.path.join(self.path, rel)
                 for k in keys
                 for rel in file_map.get(k, [])
-                if not stats_filter
-                or self._stats_keep(manifest, rel, stats_filter)
+                if norm_filter is None
+                or self._stats_keep(manifest, rel, norm_filter)
             ]
             if not files:
                 return None
@@ -483,11 +501,17 @@ class LakeTable:
         if any(delta_map.get(k) for k in keys):
             yield None
             return
+        norm_filter = (
+            self._normalize_stats_filter(manifest, stats_filter)
+            if stats_filter
+            else None
+        )
         files = [
             (int(k), rel)
             for k in keys
             for rel in manifest["buckets"].get(k, [])
-            if not stats_filter or self._stats_keep(manifest, rel, stats_filter)
+            if norm_filter is None
+            or self._stats_keep(manifest, rel, norm_filter)
         ]
         if not files:
             yield None

@@ -38,6 +38,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_table_dir(name: str, sf_dir: str) -> str:
+    """Deterministic scratch root for queries that materialize a
+    LakeTable: one dir per (query, sf), wiped and recreated on each
+    invocation — repeated parity/bench runs stay bounded at one table
+    copy instead of leaking a mkdtemp per call (this sandbox's tmp can
+    be RAM-backed)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"pw-q-{name}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 # The generic change-stream reading of the driver's `events` table:
 # event_id is the LSN (log total order), user_id the PK, and the event
 # type maps deterministically onto CDC ops (signup→I, error→D, else→U).
@@ -1086,7 +1106,11 @@ def multimodal_features(spark, sf):
 
 _LAKE_CHANGES_SQL = """
     WITH mark AS (
-      SELECT CAST(max(event_id) * 0.6 AS BIGINT) AS m FROM events),
+      -- floor, NOT a plain BIGINT cast: DuckDB's CAST rounds half-up
+      -- while the engine side uses Python int() (truncation) — at
+      -- max(event_id)=999 the two would disagree (599.4 is safe today,
+      -- 499.5 in the t8 query is not; floor both for all sf)
+      SELECT CAST(floor(max(event_id) * 0.6) AS BIGINT) AS m FROM events),
     last AS (
       SELECT user_id, event_id AS last_lsn, event_type, value,
              row_number() OVER (PARTITION BY user_id
@@ -1109,8 +1133,6 @@ def lake_changes(spark, sf):
     last event is past the watermark and not a delete. Reference analog:
     target load + the consumer polling _sdc_* columns past its own
     bookmark (target_postgres/db_sync.py:359-431 + binlog.py:519-543)."""
-    import tempfile
-
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
@@ -1131,7 +1153,7 @@ def lake_changes(spark, sf):
         StructField("user_id", LongType()),
         StructField("value", DoubleType()),
     ])
-    d = tempfile.mkdtemp(prefix="pw-q-lake-")
+    d = _scratch_table_dir("lake", sf)
     t = LakeTable.create(spark, d + "/t", schema, ["user_id"], num_buckets=8)
     merge_into(t, ev.where(F.col("lsn") <= mark), batch_id=0)
     merge_into(t, ev.where(F.col("lsn") > mark), batch_id=1)
@@ -1253,7 +1275,8 @@ def ann_kmeans(spark, sf):
 
 _EVOLUTION_SQL = """
     WITH mark AS (
-      SELECT CAST(max(event_id) * 0.5 AS BIGINT) AS m FROM events),
+      -- floor to match Python int() truncation (see _LAKE_CHANGES_SQL)
+      SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) AS m FROM events),
     last AS (
       SELECT user_id, event_id AS lsn, event_type, value, props,
              row_number() OVER (PARTITION BY user_id
@@ -1276,8 +1299,6 @@ def t8_evolution(spark, sf):
     db_sync.py:539-549, 583-596). The oracle folds the raw events with
     the equivalent era rule: props visible only when the winning event
     postdates the evolution point."""
-    import tempfile
-
     from pyspark.sql.types import (
         DoubleType, LongType, StructField, StructType,
     )
@@ -1299,7 +1320,7 @@ def t8_evolution(spark, sf):
         StructField("user_id", LongType()),
         StructField("value", DoubleType()),
     ])
-    d = tempfile.mkdtemp(prefix="pw-q-evolve-")
+    d = _scratch_table_dir("evolve", sf)
     t = LakeTable.create(spark, d + "/t", schema, ["user_id"], num_buckets=8)
     merge_into(t, ev.where(F.col("lsn") <= mark).drop("props"), batch_id=0)
     t.evolve([{"action": "add_column", "name": "props",

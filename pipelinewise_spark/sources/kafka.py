@@ -17,23 +17,37 @@ import json
 from pyspark.sql import SparkSession
 
 
-def render_starting_offsets(topic: str, bookmark: dict) -> str:
-    """Reference bookmark ``{partition: offset}`` (``tap_kafka/sync.py:
-    80-93``) → Spark's ``startingOffsets`` JSON spec
-    ``{"topic": {"partition": offset}}``.
+def render_starting_offsets(
+    topic: str, bookmark: dict, *, last_consumed: bool = True
+) -> str:
+    """Bookmark ``{partition: offset}`` → Spark's ``startingOffsets``
+    JSON spec ``{"topic": {"partition": offset}}``.
 
-    Semantics bridge: the reference stores the LAST-CONSUMED offset
-    (``update_bookmark`` records ``message.offset()``) and deliberately
-    re-reads it on resume, while Spark's ``startingOffsets`` is the NEXT
-    offset to consume (inclusive start). A verbatim reference bookmark
-    would therefore re-consume one message per partition, so non-sentinel
-    offsets are incremented here; the sentinels pass through (-2 =
-    earliest, -1 = latest). Partition keys must be strings, offsets
-    integers."""
+    The offset SEMANTICS are an explicit parameter because the two
+    conventions differ by one and a silent mismatch either skips or
+    duplicates a message per partition:
+
+    - ``last_consumed=True`` (default) — the REFERENCE convention:
+      ``tap_kafka``'s ``update_bookmark`` stores ``message.offset()``
+      (the last message consumed) and deliberately re-reads it on
+      resume (``tap_kafka/sync.py:80-93``). Spark's ``startingOffsets``
+      is the NEXT offset to consume (inclusive start), so non-sentinel
+      offsets are incremented here — verbatim conversion would
+      re-consume one message per partition (harmless downstream, the
+      LSN/batch-id guards absorb duplicates, but pointless work).
+    - ``last_consumed=False`` — the bookmark already holds next-offset
+      (Spark-convention) values: rendered verbatim. Use this for
+      bookmarks produced by Spark itself; incrementing those would
+      SKIP one message per partition, which no downstream guard can
+      repair.
+
+    Sentinels pass through in both modes (-2 = earliest, -1 = latest).
+    Partition keys must be strings, offsets integers."""
+    bump = 1 if last_consumed else 0
     return json.dumps(
         {
             topic: {
-                str(p): (int(o) if int(o) < 0 else int(o) + 1)
+                str(p): (int(o) if int(o) < 0 else int(o) + bump)
                 for p, o in bookmark.items()
             }
         },
@@ -49,15 +63,20 @@ def kafka_stream_reader(
     starting_offsets: dict | str = "earliest",
     max_offsets_per_trigger: int | None = None,
     options: dict[str, str] | None = None,
+    bookmark_is_last_consumed: bool = True,
 ):
     """Builds the readStream for a singer-framed (or raw JSON) topic.
     Follow with ``.load().selectExpr("CAST(value AS STRING) as value")`` →
     :func:`pipelinewise_spark.singer.protocol.decode_records`.
 
     ``starting_offsets`` accepts the reference's bookmark dict
-    ({partition: offset}) and renders Spark's JSON offset spec."""
+    ({partition: offset}) and renders Spark's JSON offset spec; see
+    :func:`render_starting_offsets` for the last-consumed vs next-offset
+    convention (``bookmark_is_last_consumed``)."""
     if isinstance(starting_offsets, dict):
-        starting_offsets = render_starting_offsets(topic, starting_offsets)
+        starting_offsets = render_starting_offsets(
+            topic, starting_offsets, last_consumed=bookmark_is_last_consumed
+        )
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -64,7 +64,13 @@ def decode_change_stream(lines: DataFrame, value_col: str = "value") -> DataFram
     r = F.from_json(F.col(value_col), CHANGE_STREAM_SCHEMA)
     return (
         lines.select(r.alias("r"))
-        .where(F.col("r.operationType").isin("insert", "update", "delete"))
+        # 'replace' (replace_one/save) is handled as an update WITH a full
+        # document — strictly more than the reference, whose watch
+        # pipeline $match excludes replace events entirely
+        # (change_streams.py:104-107, a silent-data-loss hole there)
+        .where(
+            F.col("r.operationType").isin("insert", "update", "replace", "delete")
+        )
         .select(
             F.concat_ws("-", F.col("r.ns.db"), F.col("r.ns.coll")).alias("stream"),
             F.col("r.documentKey._id").alias("_id"),

@@ -188,6 +188,12 @@ def test_kafka_starting_offsets_spec():
     parsed = json.loads(rendered)["transcripts"]
     assert all(isinstance(k, str) for k in parsed)
     assert all(isinstance(v, int) for v in parsed.values())
+    # Spark-convention (next-offset) bookmarks render VERBATIM — bumping
+    # them would SKIP a message per partition, unrepairable downstream
+    verbatim = render_starting_offsets(
+        "transcripts", {0: 42, 2: -2}, last_consumed=False
+    )
+    assert json.loads(verbatim) == {"transcripts": {"0": 42, "2": -2}}
 
 
 # ------------------------------------- bookmark-presence stream routing

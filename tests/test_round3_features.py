@@ -400,3 +400,22 @@ def test_kmeans_cells_deterministic(spark):
     c1 = {(r.vec_id, r.cell) for r in ann.kmeans_cells(_emb(spark), k=8, iters=2).collect()}
     c2 = {(r.vec_id, r.cell) for r in ann.kmeans_cells(_emb(spark), k=8, iters=2).collect()}
     assert c1 == c2
+
+
+def test_mongo_replace_treated_as_full_document_update(spark):
+    """replace_one()/save() emits operationType='replace' with a full
+    document; it must apply as an update (the reference's watch filter
+    silently DROPS replace events — a data-loss hole we do not copy)."""
+    from pipelinewise_spark.sources import mongo
+
+    lines = _mongo_lines(spark, [
+        ("insert", "a", 5, 1, '{"_id":"a","v":1}', "01"),
+        ("replace", "a", 5, 2, '{"_id":"a","v":2}', "02"),
+    ])
+    rows = mongo.decode_change_stream(lines).orderBy("lsn").collect()
+    assert [r.op for r in rows] == ["I", "U"]
+    assert rows[1].document == '{"_id":"a","v":2}'
+    # and it never lands in the fetch buffer (document already present)
+    assert mongo.updates_requiring_fetch(
+        mongo.decode_change_stream(lines)
+    ).count() == 0
