@@ -33,7 +33,14 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--events", help="change-event parquet dir (lsn/op/... envelope)")
-    p.add_argument("--table", required=True, help="LakeTable root path")
+    p.add_argument(
+        "--project",
+        help="PipelineWise tap YAML: wires all schemas[].tables[] as a "
+        "multi-stream pipeline under --table as the lake root "
+        "(replication methods/transformations from the YAML; events must "
+        "carry the <source_schema>-<table_name> stream column)",
+    )
+    p.add_argument("--table", required=True, help="LakeTable root path (or lake ROOT with --project)")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (mode=stream)")
     p.add_argument("--stream", default="default")
     p.add_argument("--mode", choices=["stream", "replay", "snapshot"], default="stream")
@@ -57,6 +64,33 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("pipelinewise-spark-cdc").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.project:
+        # YAML-project mode: the reference's tap file wires everything;
+        # --table is the lake ROOT, streams route by the events' stream
+        # column (<source_schema>-<table_name>)
+        from pipelinewise_spark.config import build_project, load_tap_yaml
+
+        proj = build_project(
+            spark,
+            load_tap_yaml(args.project),
+            lake_root=args.table,
+            schema_provider=lambda s: (TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY),
+            num_buckets=args.num_buckets,
+            soft_delete=bool(args.soft_delete),
+        )
+        multi = proj["pipeline"]
+        if not args.events or not args.checkpoint:
+            p.error("--events and --checkpoint required with --project")
+        multi.run_file_stream(args.events, args.checkpoint)
+        print(json.dumps({
+            "mode": "project",
+            "streams": {
+                s: t.refresh().bookmarks.get(s)
+                for s, t in proj["tables"].items()
+            },
+        }, default=str))
+        return 0
 
     if LakeTable.exists(args.table):
         table = LakeTable(spark, args.table)
