@@ -68,21 +68,38 @@ def main(argv: list[str] | None = None) -> int:
     if args.project:
         # YAML-project mode: the reference's tap file wires everything;
         # --table is the lake ROOT, streams route by the events' stream
-        # column (<source_schema>-<table_name>)
+        # column (<source_schema>-<table_name>). All argument validation
+        # happens BEFORE build_project — wiring creates tables on disk,
+        # and a usage error must leave no side effects.
+        if not args.events or not args.checkpoint:
+            p.error("--events and --checkpoint required with --project")
+        if args.mode != "stream":
+            p.error("--project supports mode=stream only")
+        for flag, name in ((args.transform_config, "--transform-config"),
+                           (args.append_only, "--append-only"),
+                           (args.snapshot, "--snapshot")):
+            if flag:
+                p.error(f"{name} is incompatible with --project (the tap "
+                        "YAML declares transformations/keys per table)")
         from pipelinewise_spark.config import build_project, load_tap_yaml
 
         proj = build_project(
             spark,
             load_tap_yaml(args.project),
             lake_root=args.table,
+            # the built-in provider serves the engine's transcript payload
+            # schema; tables whose key_properties fall outside it fail at
+            # wiring time with a clear error (build_project validates) —
+            # for other payloads, wire build_project with a catalog-backed
+            # schema_provider from your own driver script
             schema_provider=lambda s: (TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY),
             num_buckets=args.num_buckets,
             soft_delete=bool(args.soft_delete),
         )
-        multi = proj["pipeline"]
-        if not args.events or not args.checkpoint:
-            p.error("--events and --checkpoint required with --project")
-        multi.run_file_stream(args.events, args.checkpoint)
+        proj["pipeline"].run_file_stream(
+            args.events, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
         print(json.dumps({
             "mode": "project",
             "streams": {

@@ -9,10 +9,9 @@ stream splitting ``cli/pipelinewise.py:172-368``). A user switching to
 this engine keeps that file: :func:`build_project` turns the SAME shape
 into LakeTables + compiled transformations + a
 :class:`~pipelinewise_spark.cdc.pipeline.MultiStreamPipeline`, and
-returns reader SPECS (module/function/kwargs) for each table's
-replication method so the caller can bind live connections where they
-exist (JDBC / Kafka / files) — the sandbox has no live databases, so
-specs are data, not connections.
+returns reader SPECS for each table's replication method so the caller
+can bind live connections where they exist (JDBC / Kafka / files) — the
+sandbox has no live databases, so specs are data, not connections.
 
 Not supported (loudly): vault-encrypted values (``!vault`` — decrypt
 before handing the file over) and connector types outside the engine's
@@ -41,20 +40,32 @@ SUPPORTED_TAP_TYPES = {
     "tap-mongodb": "mongo",
 }
 
+#: per-dialect JDBC URL templates — a spec must never render a URL that
+#: is silently wrong for its engine.
+_JDBC_URL = {
+    "tap-mysql": "jdbc:mysql://{host}:{port}/{dbname}",
+    "tap-postgres": "jdbc:postgresql://{host}:{port}/{dbname}",
+    "tap-oracle": "jdbc:oracle:thin:@//{host}:{port}/{dbname}",
+    "tap-snowflake": "jdbc:snowflake://{host}/?db={dbname}",
+}
+
 REPLICATION_METHODS = ("LOG_BASED", "INCREMENTAL", "FULL_TABLE")
 
 
 def load_tap_yaml(path_or_text: str) -> dict:
-    """Parse a tap YAML (path or literal text). Rejects vault-encrypted
-    scalars explicitly — the reference decrypts them with the project's
-    master password (``cli/config.py``), which this engine does not
-    hold."""
+    """Parse a tap YAML. A single-line argument is treated as a PATH
+    (missing → FileNotFoundError, not a misleading parse error — the CLI
+    always passes a path); multi-line input parses as literal YAML text
+    (test fixtures). Rejects vault-encrypted scalars explicitly — the
+    reference decrypts them with the project's master password
+    (``cli/config.py``), which this engine does not hold."""
     import yaml
 
-    text = path_or_text
-    if os.path.exists(path_or_text):
-        with open(path_or_text) as fh:
+    if "\n" not in path_or_text:
+        with open(path_or_text) as fh:  # raises FileNotFoundError cleanly
             text = fh.read()
+    else:
+        text = path_or_text
     if "!vault" in text:
         raise ValueError(
             "vault-encrypted values are not supported; decrypt the "
@@ -85,10 +96,23 @@ def _transform_config(table: dict) -> list[dict]:
 
 
 def reader_spec(cfg: dict, source_schema: str, table: dict) -> dict:
-    """The read plan for one table, as data: which sources module /
-    function serves its ``replication_method``, with the kwargs derived
-    from ``db_conn`` — bind a live connection by calling
-    ``pipelinewise_spark.sources.<module>.<function>(spark, **kwargs)``."""
+    """The read plan for one table, as data:
+
+    - ``module`` / ``function`` — which
+      ``pipelinewise_spark.sources.<module>.<function>`` serves the
+      table's ``replication_method``;
+    - ``kwargs`` — every argument derivable from the YAML, verbatim;
+    - ``required_at_bind`` — arguments the YAML cannot know (snapshot
+      partition bounds from a max-PK probe, the current bookmark, a
+      live change-stream DataFrame): the caller supplies these when
+      binding ``<function>(spark, **kwargs, **bound)``. Listing them
+      explicitly keeps the spec honest — nothing here renders a call
+      that would TypeError or a URL that is silently wrong.
+
+    LOG_BASED's spec is its INITIAL LOAD (``snapshot_reader`` — the
+    FastSync path, like the reference routes bookmark-less LOG_BASED
+    streams, ``cli/pipelinewise.py:172-368``); the continuous tail then
+    runs through the streaming pipeline, not a batch reader."""
     method = table.get("replication_method", "FULL_TABLE")
     if method not in REPLICATION_METHODS:
         raise ValueError(
@@ -104,26 +128,35 @@ def reader_spec(cfg: dict, source_schema: str, table: dict) -> dict:
         "module": module,
         "method": method,
         "table": f"{source_schema}.{table['table_name']}",
+        "required_at_bind": [],
     }
     if module == "jdbc":
-        spec["function"] = {
-            "LOG_BASED": "incremental_reader",  # binlog/WAL tail feeds the
-            # stream path; the JDBC reader serves its initial snapshot
-            "INCREMENTAL": "incremental_reader",
-            "FULL_TABLE": "snapshot_reader",
-        }[method]
+        url = _JDBC_URL[tap_type].format(
+            host=conn.get("host", ""),
+            port=conn.get("port", ""),
+            dbname=conn.get("dbname", ""),
+        )
         spec["kwargs"] = {
-            "url": "jdbc:%s://%s:%s/%s"
-            % (
-                "mysql" if tap_type == "tap-mysql" else "postgresql",
-                conn.get("host", ""),
-                conn.get("port", ""),
-                conn.get("dbname", ""),
-            ),
+            "url": url,
+            "table": spec["table"],
             "fetchsize": int(conn.get("export_batch_rows", 50000)),
         }
         if method == "INCREMENTAL":
-            spec["kwargs"]["replication_key"] = table.get("replication_key")
+            key = table.get("replication_key")
+            if not key:
+                # the reference rejects this at import time too
+                raise ValueError(
+                    f"{_stream_id(source_schema, table)}: INCREMENTAL "
+                    "requires replication_key"
+                )
+            spec["function"] = "incremental_reader"
+            spec["kwargs"]["replication_key"] = key
+            spec["required_at_bind"] = ["bookmark"]
+        else:  # FULL_TABLE, and LOG_BASED's initial load
+            spec["function"] = "snapshot_reader"
+            spec["required_at_bind"] = [
+                "partition_column", "lower_bound", "upper_bound",
+            ]
     elif module == "kafka":
         spec["function"] = "kafka_stream_reader"
         spec["kwargs"] = {
@@ -133,12 +166,16 @@ def reader_spec(cfg: dict, source_schema: str, table: dict) -> dict:
     elif module == "files":
         spec["function"] = "read_csv_batch"
         spec["kwargs"] = {
-            "bucket": conn.get("bucket", ""),
-            "prefix": conn.get("s3_key_prefix", ""),
+            "path": "s3a://%s/%s"
+            % (conn.get("bucket", ""), conn.get("s3_key_prefix", "") or ""),
         }
     elif module == "mongo":
+        # decode_change_stream takes the change-stream LINES DataFrame
+        # (from db.watch() relayed through any transport), not a
+        # connection — declared, not faked
         spec["function"] = "decode_change_stream"
         spec["kwargs"] = {}
+        spec["required_at_bind"] = ["lines"]
     return spec
 
 
@@ -157,7 +194,8 @@ def build_project(
     - one :class:`LakeTable` per ``schemas[].tables[]`` entry at
       ``lake_root/<target_schema>/<table_name>`` (created if absent,
       with ``key_properties`` from the table entry or, failing that,
-      from ``schema_provider``);
+      from ``schema_provider``; keys are validated against the schema at
+      WIRING time — a bad key fails here, not mid-stream);
     - the YAML ``transformations`` compiled per stream (T3-T7 DSL);
     - a :class:`MultiStreamPipeline` keyed by the reference's
       ``<source_schema>-<table_name>`` stream ids;
@@ -183,9 +221,27 @@ def build_project(
             stream = _stream_id(src, table)
             struct, keys = schema_provider(stream)
             keys = table.get("key_properties", keys)
+            missing = set(keys) - {f.name for f in struct.fields}
+            if missing:
+                raise ValueError(
+                    f"{stream}: key_properties {sorted(missing)} not in "
+                    f"the schema_provider schema "
+                    f"({[f.name for f in struct.fields]})"
+                )
             path = os.path.join(lake_root, tgt, table["table_name"])
             if LakeTable.exists(path):
                 lt = LakeTable(spark, path)
+                prop_soft = bool(
+                    lt.manifest["properties"].get("soft_delete", False)
+                )
+                if bool(soft_delete) != prop_soft:
+                    # fail at WIRING time with a clear message — deferred,
+                    # this surfaces as an opaque foreachBatch failure
+                    # after the stream starts (merge.py's property check)
+                    raise ValueError(
+                        f"{stream}: soft_delete={soft_delete} contradicts "
+                        f"existing table {path} (property={prop_soft})"
+                    )
             else:
                 lt = LakeTable.create(
                     spark, path, struct, keys, num_buckets=num_buckets,
@@ -196,8 +252,7 @@ def build_project(
             transform = None
             tconf = _transform_config(table)
             if tconf:
-                fn = compile_transformations(tconf)
-                transform = fn
+                transform = compile_transformations(tconf)
             pipelines[stream] = CdcPipeline(
                 lt, stream=stream, transform=transform,
                 soft_delete=soft_delete or None,

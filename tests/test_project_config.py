@@ -58,7 +58,7 @@ def test_load_rejects_vault_values():
 
 def test_load_rejects_non_tap_yaml():
     with pytest.raises(ValueError, match="schemas"):
-        load_tap_yaml("just: a-random-file")
+        load_tap_yaml("just: some\nrandom: yaml\n")
 
 
 def test_build_project_wires_tables_transforms_and_streams(spark, tmp_path):
@@ -109,12 +109,54 @@ def test_reader_specs_reflect_replication_method():
     log_spec = reader_spec(cfg, "my_db", tables[0])
     inc_spec = reader_spec(cfg, "my_db", tables[1])
     assert log_spec["module"] == "jdbc" and log_spec["method"] == "LOG_BASED"
+    # LOG_BASED's batch spec is its INITIAL LOAD — the snapshot reader
+    # (the continuous tail is the streaming pipeline, not a batch read);
+    # the partition bounds come from a max-PK probe at bind time
+    assert log_spec["function"] == "snapshot_reader"
+    assert log_spec["required_at_bind"] == [
+        "partition_column", "lower_bound", "upper_bound",
+    ]
     assert inc_spec["function"] == "incremental_reader"
     assert inc_spec["kwargs"]["replication_key"] == "updated_at"
     assert inc_spec["kwargs"]["url"] == "jdbc:mysql://dbhost:3306/appdb"
-    assert inc_spec["table"] == "my_db.audit"
+    assert inc_spec["kwargs"]["table"] == "my_db.audit"
+    assert inc_spec["required_at_bind"] == ["bookmark"]
     with pytest.raises(ValueError, match="replication_method"):
         reader_spec(cfg, "my_db", {"table_name": "x", "replication_method": "BOGUS"})
     with pytest.raises(ValueError, match="unsupported tap type"):
         reader_spec({"type": "tap-zendesk"}, "s", {"table_name": "x",
                                                    "replication_method": "FULL_TABLE"})
+    # INCREMENTAL without replication_key is a config error caught at
+    # spec time (the reference rejects it at import), not at the database
+    with pytest.raises(ValueError, match="replication_key"):
+        reader_spec(cfg, "my_db", {"table_name": "x",
+                                   "replication_method": "INCREMENTAL"})
+    # dialect-correct URLs — never a silently-wrong one
+    ora = reader_spec(
+        {"type": "tap-oracle", "db_conn": {"host": "h", "port": 1521,
+                                           "dbname": "svc"}},
+        "s", {"table_name": "t", "replication_method": "FULL_TABLE"},
+    )
+    assert ora["kwargs"]["url"] == "jdbc:oracle:thin:@//h:1521/svc"
+
+
+def test_build_project_validates_keys_and_soft_delete(spark, tmp_path):
+    cfg = load_tap_yaml(TAP_YAML)
+    bad = load_tap_yaml(TAP_YAML)
+    bad["schemas"][0]["tables"][0]["key_properties"] = ["no_such_col"]
+    with pytest.raises(ValueError, match="no_such_col"):
+        build_project(spark, bad, lake_root=str(tmp_path / "l1"),
+                      schema_provider=_provider, num_buckets=2)
+    # soft_delete contradiction against an existing table fails at
+    # WIRING time, not as an opaque foreachBatch error mid-stream
+    build_project(spark, cfg, lake_root=str(tmp_path / "l2"),
+                  schema_provider=_provider, num_buckets=2)
+    with pytest.raises(ValueError, match="soft_delete"):
+        build_project(spark, cfg, lake_root=str(tmp_path / "l2"),
+                      schema_provider=_provider, num_buckets=2,
+                      soft_delete=True)
+
+
+def test_load_tap_yaml_missing_path_is_file_not_found():
+    with pytest.raises(FileNotFoundError):
+        load_tap_yaml("/no/such/project/tap_mysql.yml")
