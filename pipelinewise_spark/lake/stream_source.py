@@ -73,7 +73,16 @@ class _LakeTableStreamReader(SimpleDataSourceStreamReader):
     def _added_files(self, after: int, upto: int) -> list[str]:
         rels: list[str] = []
         for v in range(after + 1, upto + 1):
-            m = _load_manifest(self.path, v)
+            try:
+                m = _load_manifest(self.path, v)
+            except FileNotFoundError:
+                # vacuum(keep_versions=N) also drops superseded manifests
+                # — a consumer lagging past retention must ERROR, never
+                # silently thin the feed
+                raise RuntimeError(
+                    f"change-feed manifest v{v} was vacuumed; increase "
+                    f"vacuum keep_versions above the consumer lag"
+                )
             for ent in m.get("summary", {}).get("added_files", []):
                 rels.append(ent["path"])
         return rels

@@ -80,3 +80,26 @@ def test_lake_stream_source_default_offset_is_latest(spark, tmp_path):
     # no startingVersion → tail AFTER the current version: empty batch
     got = _run_feed(spark, t.path, str(tmp_path / "c2"), str(tmp_path / "out2"))
     assert got.count() == 0
+
+
+def test_lake_stream_source_vacuumed_range_fails_loudly(spark, tmp_path):
+    """A consumer lagging past the vacuum retention must get an ERROR,
+    not a silently thinned feed."""
+    import pytest
+
+    from pipelinewise_spark.lake.stream_source import _LakeTableStreamReader
+
+    ev = generate_change_events(spark, n_convs=6, turns_per_conv=2, n_updates=8)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2,
+    )
+    merge_into(t, ev.where(F.col("lsn") <= 12), batch_id=0)
+    merge_into(t, ev.where(F.col("lsn") > 12), batch_id=1)
+    # v1's files were superseded by v2's bucket rewrite; vacuum removes them
+    t.vacuum(keep_versions=1, min_age_sec=0)
+    reader = _LakeTableStreamReader(t.read().schema, {"path": t.path})
+    with pytest.raises(RuntimeError, match="vacuum"):
+        list(reader.readBetweenOffsets({"version": 0}, {"version": 1}))
+    # the still-live range reads fine
+    assert list(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
