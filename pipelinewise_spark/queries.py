@@ -1332,3 +1332,53 @@ def t8_evolution(spark, sf):
         F.col("value").alias("last_value"),
         "props",
     )
+
+
+_DISCOVERY_SQL = """
+    SELECT column_name,
+           CASE
+             WHEN data_type IN ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT')
+               THEN 'integer'
+             WHEN data_type IN ('FLOAT', 'DOUBLE') OR data_type LIKE 'DECIMAL%'
+               THEN 'number'
+             WHEN data_type = 'BOOLEAN' THEN 'boolean'
+             WHEN data_type LIKE 'TIMESTAMP%' OR data_type = 'DATE'
+               THEN 'date-time-string'
+             ELSE 'string'
+           END AS json_type,
+           CASE WHEN column_name = 'user_id' THEN 'automatic'
+                ELSE 'available' END AS inclusion
+    FROM information_schema.columns WHERE table_name = 'events'
+"""
+
+
+@q("s16_catalog_discovery", _DISCOVERY_SQL)
+def s16_discovery(spark, sf):
+    """S16 under the oracle gate: discover the events table's singer
+    catalog entry (JSON-schema types + per-column selection metadata,
+    singer/catalog.py + singer/schema.py) and flatten it to rows; the
+    oracle derives the SAME classification from DuckDB's own view of the
+    identical parquet — any drift in the Spark-type→JSON-schema mapping
+    or the key-inclusion rule breaks the hash. Reference:
+    tap_mysql/discover_utils.py:325-404 (selected/inclusion metadata),
+    tap_postgres discovery."""
+    from pipelinewise_spark.singer import catalog as cat
+
+    entry = cat.discover_dataframe(
+        _t(spark, sf, "events"), "events", key_properties=["user_id"]
+    )
+    props = entry["schema"]["properties"]
+    incl = {
+        m["breadcrumb"][1]: m["metadata"]["inclusion"]
+        for m in entry["metadata"]
+        if m["breadcrumb"]
+    }
+    rows = []
+    for col, js in props.items():
+        t = [x for x in js["type"] if x != "null"][0]
+        if js.get("format") == "date-time":
+            t = "date-time-string"
+        rows.append((col, t, incl[col]))
+    return spark.createDataFrame(
+        rows, "column_name string, json_type string, inclusion string"
+    )
