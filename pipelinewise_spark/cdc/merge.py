@@ -46,25 +46,11 @@ from pipelinewise_spark.lake.table import (
     SDC_DELETED_AT,
     SDC_EXTRACTED_AT,
     LakeTable,
+    NullKeyError,
+    any_null_key as _any_null_key,
 )
 
 DROP_ACTIONS = ("delete", "noop_delete")
-
-
-class NullKeyError(ValueError):
-    """A change batch carried NULL in a primary-key column. Raised before
-    commit (no state is published; orphaned files are vacuumed). The
-    reference's warehouse targets reject this with a PK constraint."""
-
-
-def _any_null_key(key_cols: list[str], prefix: str = ""):
-    """OR-fold of ``IS NULL`` over the key columns (the pre-commit
-    rejection predicate — one definition for both merge paths)."""
-    cond = None
-    for k in key_cols:
-        c = F.col(f"{prefix}{k}").isNull()
-        cond = c if cond is None else (cond | c)
-    return cond
 
 
 class ExactlyOnceWindowError(RuntimeError):

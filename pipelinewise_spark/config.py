@@ -242,6 +242,15 @@ def build_project(
                         f"{stream}: soft_delete={soft_delete} contradicts "
                         f"existing table {path} (property={prop_soft})"
                     )
+                if list(keys) != list(lt.key_cols):
+                    # same wiring-time contract as soft_delete: a tap YAML
+                    # whose key_properties drifted from the on-disk table
+                    # must not silently merge on the OLD keys
+                    raise ValueError(
+                        f"{stream}: key_properties {list(keys)} contradict "
+                        f"existing table {path} (key_cols={lt.key_cols}); "
+                        f"recreate the table or fix the YAML"
+                    )
             else:
                 lt = LakeTable.create(
                     spark, path, struct, keys, num_buckets=num_buckets,

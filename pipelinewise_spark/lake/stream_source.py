@@ -89,9 +89,24 @@ class _LakeTableStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         latest = _manifest_versions(self.path)[-1]
+        if latest < start["version"]:
+            # the table's version history moved BACKWARD past our
+            # checkpoint (manifest rollback / table re-create) — the feed
+            # identity is broken; advancing from the stale offset would
+            # re-emit delivered ranges, so fail loudly instead
+            raise RuntimeError(
+                f"change-feed offset v{start['version']} is ahead of the "
+                f"table's latest manifest v{latest}: the table was rolled "
+                f"back or re-created; restart the consumer with a fresh "
+                f"checkpoint"
+            )
+        if latest == start["version"]:
+            # no new commits: the end offset must NOT move (returning a
+            # recomputed 'latest' could only ever equal start here, but
+            # returning start explicitly keeps offsets monotone by
+            # construction)
+            return iter([]), dict(start)
         end = {"version": latest}
-        if latest <= start["version"]:
-            return iter([]), end
         # a LIST iterator, not a generator: Spark's prefetch cache
         # copy.copy()s the returned iterator, which generators reject
         return iter(list(self._rows(start["version"], latest))), end

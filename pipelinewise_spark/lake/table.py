@@ -51,6 +51,26 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+class NullKeyError(ValueError):
+    """A batch carried NULL in a primary-key column. Raised before commit
+    (no state is published; orphaned files are vacuumed). The reference's
+    warehouse targets reject this with a PK constraint. Enforced on EVERY
+    keyed write path — merge (CoW and MoR) and snapshot ``overwrite`` —
+    because the merge join uses plain ``==`` on the keys and a null-key
+    row admitted by any path would become a permanent zombie no later
+    merge could match, update, or delete."""
+
+
+def any_null_key(key_cols: list[str], prefix: str = "") -> Column:
+    """OR-fold of ``IS NULL`` over the key columns (the pre-commit
+    rejection predicate — one definition for every keyed write path)."""
+    cond = None
+    for k in key_cols:
+        c = F.col(f"{prefix}{k}").isNull()
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 FORMAT_VERSION = 1
@@ -778,7 +798,12 @@ class LakeTable:
     ) -> dict:
         """Atomic full-snapshot replace (reference: FastSync load + table
         swap, ``fastsync/commons/target_snowflake.py:447-468``; Singer
-        ACTIVATE_VERSION). Old files are dereferenced in one commit."""
+        ACTIVATE_VERSION). Old files are dereferenced in one commit.
+
+        Keyed tables reject NULL primary keys pre-commit (observe-counted
+        on the same pass that writes the files): the merge paths join on
+        plain ``==``, so a null-key snapshot row (possible from CSV or
+        Mongo sources) would otherwise be an unmatchable zombie."""
         prepared = df
         for name in METADATA_COLS:
             if name not in prepared.columns:
@@ -786,7 +811,24 @@ class LakeTable:
                     name, F.lit(None).cast(METADATA_TYPES[name])
                 )
         prepared = prepared.withColumn("_bucket", self.bucket_expr())
+        obs = None
+        if self.key_cols:
+            from pyspark.sql import Observation
+
+            obs = Observation("overwrite")
+            prepared = prepared.observe(
+                obs,
+                F.sum(
+                    F.when(any_null_key(self.key_cols), 1).otherwise(0)
+                ).alias("null_keys"),
+            )
         added = self.write_bucket_files(prepared)
+        if obs is not None and int(obs.get.get("null_keys") or 0):
+            raise NullKeyError(
+                f"{int(obs.get['null_keys'])} snapshot row(s) carry NULL "
+                f"in a primary-key column {self.key_cols}; keyed tables "
+                f"must have non-null keys (merge joins on ==)"
+            )
         return self.commit(
             added=added,
             overwrite_all=True,

@@ -23,6 +23,16 @@ def render_starting_offsets(
     """Bookmark ``{partition: offset}`` → Spark's ``startingOffsets``
     JSON spec ``{"topic": {"partition": offset}}``.
 
+    .. warning:: BEHAVIOR CHANGE vs early engine versions: the default
+       now treats bookmark offsets as LAST-CONSUMED (the reference
+       tap_kafka convention) and bumps non-sentinel offsets by +1. A
+       caller persisting Spark-convention NEXT-OFFSET bookmarks must
+       pass ``last_consumed=False`` explicitly — relying on the old
+       verbatim default would silently SKIP one message per partition,
+       a loss no downstream guard can repair. When handed a dict whose
+       provenance is unknown, require the caller to state the
+       convention rather than guessing.
+
     The offset SEMANTICS are an explicit parameter because the two
     conventions differ by one and a silent mismatch either skips or
     duplicates a message per partition:
