@@ -74,6 +74,7 @@ def kafka_stream_reader(
     max_offsets_per_trigger: int | None = None,
     options: dict[str, str] | None = None,
     bookmark_is_last_consumed: bool = True,
+    format: str = "kafka",
 ):
     """Builds the readStream for a singer-framed (or raw JSON) topic.
     Follow with ``.load().selectExpr("CAST(value AS STRING) as value")`` →
@@ -82,13 +83,19 @@ def kafka_stream_reader(
     ``starting_offsets`` accepts the reference's bookmark dict
     ({partition: offset}) and renders Spark's JSON offset spec; see
     :func:`render_starting_offsets` for the last-consumed vs next-offset
-    convention (``bookmark_is_last_consumed``)."""
+    convention (``bookmark_is_last_consumed``).
+
+    ``format`` defaults to the real JVM source; tests pass
+    ``"kafka_stub"`` (:mod:`pipelinewise_spark.sources.kafka_stub`) to
+    execute this exact wiring — same options, same offset JSON, same
+    wire schema — without the ``spark-sql-kafka`` jar (Spark reserves
+    the name ``kafka`` so the stub cannot shadow it)."""
     if isinstance(starting_offsets, dict):
         starting_offsets = render_starting_offsets(
             topic, starting_offsets, last_consumed=bookmark_is_last_consumed
         )
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
