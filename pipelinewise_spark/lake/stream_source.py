@@ -16,9 +16,15 @@ Semantics (documented, not hidden):
   rewritten buckets' rows — a bucket-level changelog; MoR delta appends
   and append-only tables emit exactly the batch rows). Downstream
   last-per-key folding collapses re-emits, same as any CDC consumer.
-- reads happen via the SimpleDataSourceStreamReader (driver-side
-  iterator) — the tail-consumer path for bounded feeds; bulk backfills
-  should use ``LakeTable.read``/``changes_since`` (executor-parallel).
+- EXECUTOR-PARALLEL reads: the reader plans ONE InputPartition PER
+  ADDED FILE (driver touches only manifest JSON — O(commits) small
+  reads); file decode runs in Spark tasks, so a commit that added 200
+  bucket files fans out across the cluster instead of serializing
+  through driver Python. At 100 TB this is the difference between a
+  feed that keeps up and a driver bottleneck.
+- offsets never move backward: a manifest rollback / table re-create
+  under a live checkpoint fails loudly instead of re-emitting
+  delivered ranges.
 
 Register once per session::
 
@@ -35,7 +41,8 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 from pyspark.sql.types import StructType
 
@@ -50,25 +57,41 @@ def _manifest_versions(path: str) -> list[int]:
         if n.startswith("v") and n.endswith(".json")
     )
 
-
 def _load_manifest(path: str, version: int) -> dict:
     with open(os.path.join(path, MANIFEST_DIR, f"v{version:012d}.json")) as fh:
         return json.load(fh)
 
 
-class _LakeTableStreamReader(SimpleDataSourceStreamReader):
+class _LakeTableStreamReader(DataSourceStreamReader):
+    """Partition-planning reader: offsets = manifest versions; one
+    InputPartition per file a commit added; per-file parquet decode in
+    executor tasks (the driver never opens a data file)."""
+
     def __init__(self, schema: StructType, options: dict):
         self.path = os.path.abspath(options["path"])
-        self.schema = schema
         self.fields = _load_manifest(
             self.path, _manifest_versions(self.path)[-1]
         )["fields"]
+        # highest version this reader has observed — rollback tripwire
+        self._max_seen = -1
 
     def initialOffset(self) -> dict:
         # start tailing AFTER the current version by default ("latest",
         # the change-feed convention); option startingVersion=0 replays
         # history from the beginning
         return {"version": _manifest_versions(self.path)[-1]}
+
+    def latestOffset(self) -> dict:
+        latest = _manifest_versions(self.path)[-1]
+        if latest < self._max_seen:
+            raise RuntimeError(
+                f"change-feed table at {self.path} moved backward "
+                f"(latest manifest v{latest} < previously observed "
+                f"v{self._max_seen}): rolled back or re-created; restart "
+                f"the consumer with a fresh checkpoint"
+            )
+        self._max_seen = latest
+        return {"version": latest}
 
     def _added_files(self, after: int, upto: int) -> list[str]:
         rels: list[str] = []
@@ -87,59 +110,50 @@ class _LakeTableStreamReader(SimpleDataSourceStreamReader):
                 rels.append(ent["path"])
         return rels
 
-    def read(self, start: dict):
-        latest = _manifest_versions(self.path)[-1]
-        if latest < start["version"]:
-            # the table's version history moved BACKWARD past our
-            # checkpoint (manifest rollback / table re-create) — the feed
-            # identity is broken; advancing from the stale offset would
-            # re-emit delivered ranges, so fail loudly instead
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        if end["version"] < start["version"]:
+            # checkpoint ahead of the table: rollback / re-create —
+            # advancing (or silently emitting nothing) would corrupt the
+            # exactly-once contract, so refuse
             raise RuntimeError(
                 f"change-feed offset v{start['version']} is ahead of the "
-                f"table's latest manifest v{latest}: the table was rolled "
-                f"back or re-created; restart the consumer with a fresh "
-                f"checkpoint"
+                f"table's latest manifest v{end['version']}: the table "
+                f"was rolled back or re-created; restart the consumer "
+                f"with a fresh checkpoint"
             )
-        if latest == start["version"]:
-            # no new commits: the end offset must NOT move (returning a
-            # recomputed 'latest' could only ever equal start here, but
-            # returning start explicitly keeps offsets monotone by
-            # construction)
-            return iter([]), dict(start)
-        end = {"version": latest}
-        # a LIST iterator, not a generator: Spark's prefetch cache
-        # copy.copy()s the returned iterator, which generators reject
-        return iter(list(self._rows(start["version"], latest))), end
+        return [
+            InputPartition(rel)
+            for rel in self._added_files(start["version"], end["version"])
+        ]
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # exactly-once replay: same version range → same immutable
-        # manifests → identical rows (files may have been vacuumed only
-        # if the retention window was violated — same contract as any
-        # table-format change feed)
-        return iter(list(self._rows(start["version"], end["version"])))
-
-    def _rows(self, after: int, upto: int) -> Iterator[tuple]:
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # runs in an EXECUTOR task — one immutable parquet file per task
         import pyarrow.parquet as pq
 
-        phys = [f["physical"] for f in self.fields]
-        for rel in self._added_files(after, upto):
-            full = os.path.join(self.path, rel)
-            try:
-                t = pq.read_table(full)
-            except FileNotFoundError:
-                # vacuumed beyond retention — fail loudly rather than
-                # silently dropping a slice of the feed
-                raise RuntimeError(
-                    f"change-feed file {rel} was vacuumed; increase "
-                    f"vacuum keep_versions above the consumer lag"
-                )
-            cols = []
-            for p in phys:
-                if p in t.column_names:
-                    cols.append(t.column(p).to_pylist())
-                else:  # pre-evolution file: logical column reads as NULL
-                    cols.append([None] * t.num_rows)
-            yield from zip(*cols)
+        rel = partition.value
+        full = os.path.join(self.path, rel)
+        try:
+            t = pq.read_table(full)
+        except FileNotFoundError:
+            # vacuumed beyond retention — fail loudly rather than
+            # silently dropping a slice of the feed
+            raise RuntimeError(
+                f"change-feed file {rel} was vacuumed; increase "
+                f"vacuum keep_versions above the consumer lag"
+            )
+        cols = []
+        for f in self.fields:
+            p = f["physical"]
+            if p in t.column_names:
+                cols.append(t.column(p).to_pylist())
+            else:  # pre-evolution file: logical column reads as NULL
+                cols.append([None] * t.num_rows)
+        yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint; manifests are immutable —
+        # nothing to clean up on our side
+        pass
 
 
 class LakeTableStreamSource(DataSource):
@@ -156,10 +170,12 @@ class LakeTableStreamSource(DataSource):
             [(f["logical"], f["type"]) for f in fields]
         )
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         reader = _LakeTableStreamReader(schema, dict(self.options))
-        if str(self.options.get("startingVersion", "")) != "":
-            reader.initialOffset = lambda: {  # type: ignore[method-assign]
-                "version": int(self.options["startingVersion"])
-            }
+        if str(self.options.get("startingversion", self.options.get("startingVersion", ""))) != "":
+            sv = int(
+                self.options.get("startingversion")
+                or self.options.get("startingVersion")
+            )
+            reader.initialOffset = lambda: {"version": sv}  # type: ignore[method-assign]
         return reader

@@ -100,6 +100,34 @@ def test_lake_stream_source_vacuumed_range_fails_loudly(spark, tmp_path):
     t.vacuum(keep_versions=1, min_age_sec=0)
     reader = _LakeTableStreamReader(t.read().schema, {"path": t.path})
     with pytest.raises(RuntimeError, match="vacuum"):
-        list(reader.readBetweenOffsets({"version": 0}, {"version": 1}))
+        reader.partitions({"version": 0}, {"version": 1})
     # the still-live range reads fine
-    assert list(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert parts and all(list(reader.read(p)) for p in parts)
+
+
+def test_lake_stream_source_plans_one_partition_per_file(spark, tmp_path):
+    """The feed must be EXECUTOR-parallel: a commit that added N files
+    plans N InputPartitions (per-file task reads), and the union of the
+    per-partition reads equals the commit's added rows."""
+    from pipelinewise_spark.lake.stream_source import _LakeTableStreamReader
+
+    ev = generate_change_events(spark, n_convs=24, turns_per_conv=3, n_updates=0)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=8,
+    )
+    merge_into(t, ev, batch_id=0)
+    reader = _LakeTableStreamReader(t.read().schema, {"path": t.path})
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    added = t.refresh().manifest["summary"]["added_files"]
+    assert len(parts) == len(added) > 1
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == sum(e["rows"] for e in added)
+    # and through the real engine: the streamed count matches, executed
+    # as Spark tasks (driver-side decode is gone by construction)
+    spark.dataSource.register(LakeTableStreamSource)
+    got = _run_feed(
+        spark, t.path, str(tmp_path / "c"), str(tmp_path / "out"), starting=0
+    )
+    assert got.count() == len(rows)

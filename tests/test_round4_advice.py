@@ -67,14 +67,18 @@ def test_stream_reader_end_offset_never_regresses(spark, tmp_path):
     merge_into(t, ev, batch_id=0)
     reader = _LakeTableStreamReader(None, {"path": t.path})
     latest = t.refresh().version
-    # caught up: end == start, not a recomputed dict that could drift
-    rows, end = reader.read({"version": latest})
-    assert end == {"version": latest}
-    assert list(rows) == []
+    # caught up: latestOffset == checkpoint, empty partition plan
+    assert reader.latestOffset() == {"version": latest}
+    assert reader.partitions({"version": latest}, {"version": latest}) == []
     # checkpoint ahead of the table (rollback / re-create) → loud error,
     # never a backward-moving offset that re-emits delivered ranges
     with pytest.raises(RuntimeError, match="rolled back"):
-        reader.read({"version": latest + 5})
+        reader.partitions({"version": latest + 5}, {"version": latest})
+    # mid-run rollback tripwire: once v_latest was observed, a smaller
+    # latest manifest set is a corrupted feed, not an empty batch
+    reader._max_seen = latest + 5
+    with pytest.raises(RuntimeError, match="moved backward"):
+        reader.latestOffset()
 
 
 def test_build_project_rejects_key_drift_against_existing_table(
