@@ -1023,6 +1023,68 @@ def stream_rates(spark, sf):
     )
 
 
+@q(
+    "stream_conv_stats",
+    f"""
+    SELECT 'conv-' || user_id AS conv_id,
+           count(*)::BIGINT AS n_events,
+           max(event_id)::BIGINT AS max_lsn,
+           sum(CASE WHEN {OP_SQL} = 'D' THEN 1 ELSE 0 END)::BIGINT
+             AS n_deletes
+    FROM events GROUP BY 1
+    """,
+)
+def stream_conv_stats(spark, sf):
+    """§2.7 — the STATEFUL streaming operator under the oracle gate:
+    ``running_conv_stats`` (applyInPandasWithState) runs over the events
+    table as a REAL bounded multi-micro-batch stream (one file per
+    trigger), Update-mode emissions are folded to each key's final
+    state, and that must equal the whole-table groupBy DuckDB computes —
+    i.e. the state store carried per-key counters correctly across
+    micro-batch boundaries."""
+    from pipelinewise_spark.streaming.monitor import (
+        CONV_STATS_SCHEMA,
+        running_conv_stats,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(F.lit("conv-"), F.col("user_id")).alias("conv_id"),
+        F.col("event_id").alias("lsn"),
+        _op_col().alias("op"),
+    )
+    d = _scratch_table_dir("streamconv", sf)
+    # 4 input files → 4 micro-batches: the state MUST survive batch
+    # boundaries for the final emissions to match the oracle
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+    updates: list = []
+    qh = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+        .transform(running_conv_stats)
+        .writeStream.foreachBatch(
+            lambda df, bid: updates.extend(df.collect())
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(300)
+    all_updates = spark.createDataFrame(updates, CONV_STATS_SCHEMA)
+    # n_events strictly increases per key with every emission, so the
+    # final state per conversation is its max-n_events row
+    return all_updates.groupBy("conv_id").agg(
+        F.max_by(
+            F.struct("n_events", "max_lsn", "n_deletes"), "n_events"
+        ).alias("s")
+    ).select(
+        "conv_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.max_lsn").alias("max_lsn"),
+        F.col("s.n_deletes").alias("n_deletes"),
+    )
+
+
 def _hex_byte_sql(h: str, i: int) -> str:
     """DuckDB: byte ``i`` of a hex digest string as an integer."""
     hx = "0123456789abcdef"
