@@ -45,6 +45,8 @@ class CdcPipeline:
         auto_evolve: bool = False,
         compact_every: int | None = None,
         max_files_per_bucket: int = 4,
+        compact_delta_chain: int | None = 8,
+        compact_delta_bytes: int | None = None,
         mode: str = "cow",
         validate: str = "permissive",
         primary_key_required: bool = True,
@@ -69,6 +71,16 @@ class CdcPipeline:
         self.auto_evolve = auto_evolve
         self.compact_every = compact_every
         self.max_files_per_bucket = max_files_per_bucket
+        #: merge-on-read pressure backstop (NOT a cadence): compaction is
+        #: forced when any bucket's outstanding delta chain exceeds
+        #: ``compact_delta_chain`` files (read amplification bound, on by
+        #: default) or total outstanding delta bytes exceed
+        #: ``compact_delta_bytes`` (opt-in). A flood of tiny commits
+        #: otherwise grows chains/manifest without limit AND keeps
+        #: stats_filter file skipping disabled (LakeTable.read refuses
+        #: skipping over unresolved deltas).
+        self.compact_delta_chain = compact_delta_chain
+        self.compact_delta_bytes = compact_delta_bytes
         self.mode = mode
         #: T12 — record-validation mode for singer ingest ("permissive" |
         #: "strict"); strict FAILFASTs on malformed RECORD payloads.
@@ -115,6 +127,23 @@ class CdcPipeline:
             and len(self.history) % self.compact_every == 0
         ):
             self.table.compact(max_files_per_bucket=self.max_files_per_bucket)
+        elif self.mode == "mor" and (
+            self.compact_delta_chain or self.compact_delta_bytes
+        ):
+            p = self.table.delta_pressure()
+            if (
+                self.compact_delta_chain
+                and p["max_chain"] > self.compact_delta_chain
+            ) or (
+                self.compact_delta_bytes
+                and p["bytes"] > self.compact_delta_bytes
+            ):
+                self.table.compact(
+                    max_files_per_bucket=self.max_files_per_bucket
+                )
+                self.history.append(
+                    {"control": "auto_compact", "pressure": p}
+                )
         return metrics
 
     # ----------------------------------------------------- singer ingestion

@@ -286,6 +286,30 @@ class LakeTable:
                     pass
         return total
 
+    def delta_pressure(self) -> dict:
+        """Outstanding merge-on-read delta pressure: total delta file
+        count/bytes, deepest per-bucket chain, and bucket count. Driver-
+        side O(outstanding files) stat — bounded in practice by the
+        compaction trigger that consumes it (a healthy table holds at
+        most ``compact_delta_chain`` deltas per touched bucket). Deltas
+        are what read amplification, manifest growth, AND the
+        stats_filter refusal (``read``) all scale with, so this is the
+        one number a flood must keep bounded."""
+        deltas = self.manifest.get("deltas", {})
+        nbytes = 0
+        for fl in deltas.values():
+            for rel in fl:
+                try:
+                    nbytes += os.path.getsize(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+        return {
+            "files": sum(len(fl) for fl in deltas.values()),
+            "bytes": nbytes,
+            "max_chain": max((len(fl) for fl in deltas.values()), default=0),
+            "buckets": sum(1 for fl in deltas.values() if fl),
+        }
+
     @property
     def bucket_cols(self) -> list[str]:
         return self.manifest.get("bucket_cols") or self.key_cols

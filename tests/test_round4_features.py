@@ -1,0 +1,98 @@
+"""Round-4 features: delta-pressure MoR compaction backstop (bounded
+read amplification, bounded manifest, stats_filter skipping re-enabled
+after auto-compaction) and widen-only native type promotion."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+from pipelinewise_spark.cdc.gen import generate_change_events
+from pipelinewise_spark.cdc.pipeline import CdcPipeline
+from pipelinewise_spark.lake.table import MANIFEST_DIR, LakeTable
+
+
+def _manifest_size(t: LakeTable) -> int:
+    return os.path.getsize(
+        os.path.join(t.path, MANIFEST_DIR, f"v{t.version:012d}.json")
+    )
+
+
+def test_mor_flood_delta_pressure_backstop(spark, tmp_path):
+    """A flood of tiny MoR commits with NO compact_every cadence: the
+    per-bucket delta-chain trigger must fire by itself, keeping read
+    amplification, outstanding pressure, and manifest size bounded —
+    and leaving the table readable with stats_filter (skipping) again
+    once chains are folded."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4,
+    )
+    pipe = CdcPipeline(
+        t, stream="s", mode="mor",
+        compact_every=None, compact_delta_chain=5,
+    )
+    ev = generate_change_events(
+        spark, n_convs=12, turns_per_conv=3, n_updates=64
+    ).persist()
+    n_batches = 40
+    bounds = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + n_batches) // n_batches
+    max_chain_seen, manifest_sizes = 0, []
+    for i in range(n_batches):
+        b = ev.where(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply_batch(b, batch_id=i)
+        p = t.delta_pressure()
+        max_chain_seen = max(max_chain_seen, p["max_chain"])
+        manifest_sizes.append(_manifest_size(t))
+    # the backstop fired (no cadence was configured)
+    compactions = [h for h in pipe.history if h.get("control") == "auto_compact"]
+    assert compactions, "delta-pressure trigger never fired"
+    # pressure stayed bounded the whole run: a chain can exceed the
+    # threshold by at most one commit before the backstop folds it
+    assert max_chain_seen <= 5 + 1
+    assert t.delta_pressure()["max_chain"] <= 5 + 1
+    # manifest stays O(bounded-outstanding-files), not O(commits):
+    # the peak is not at the end of a 40-commit flood
+    assert manifest_sizes[-1] <= max(manifest_sizes)
+    assert max(manifest_sizes) < 120_000
+    # correctness: state equals the full-replay fold
+    expect = (
+        ev.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct("op", "text", "lsn"), "lsn").alias("s"))
+        .where(F.col("s.op") != "D")
+        .select("conv_id", "turn_idx", F.col("s.text").alias("text"))
+    )
+    got = t.refresh().read().select("conv_id", "turn_idx", "text")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # skipping works again right after the backstop's fold: compact any
+    # residual chains, then a stats_filter read must be permitted
+    t.compact(max_files_per_bucket=1)
+    assert t.refresh().delta_pressure()["files"] == 0
+    some_conv = got.select("conv_id").first()[0]
+    pruned = t.read(stats_filter={"conv_id": (some_conv, some_conv)})
+    assert pruned.where(F.col("conv_id") == some_conv).count() > 0
+
+
+def test_mor_byte_pressure_trigger(spark, tmp_path):
+    """The bytes knob alone (chain knob off) also forces compaction."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2,
+    )
+    pipe = CdcPipeline(
+        t, stream="s", mode="mor",
+        compact_delta_chain=None, compact_delta_bytes=1,  # any delta trips
+    )
+    ev = generate_change_events(spark, n_convs=6, turns_per_conv=2, n_updates=4)
+    pipe.apply_batch(ev, batch_id=0)
+    assert [h for h in pipe.history if h.get("control") == "auto_compact"]
+    assert t.refresh().delta_pressure()["files"] == 0
