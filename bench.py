@@ -168,6 +168,57 @@ def bigtarget_merge_bench(spark, *, n_target: int = 3_000_000,
     return out
 
 
+def multistream_bench(
+    spark, events_path: str, *, n_streams: int = 6, num_buckets: int = 16
+) -> dict:
+    """Parallel multi-stream flush A/B: the SAME mixed change log routed
+    to 6 per-stream tables, applied with max_concurrency=1 (the
+    reference's sequential per-table flush loop,
+    target_postgres/__init__.py:285-294) vs =4 (disjoint tables, merges
+    overlapped from driver threads). The win comes from filling the
+    scheduler: each single-stream merge leaves executors idle during its
+    small-stage tails; overlapping merges interleave those tails."""
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline, MultiStreamPipeline
+    from pipelinewise_spark.lake.table import LakeTable
+
+    ev = (
+        spark.read.parquet(events_path)
+        .withColumn(
+            "stream",
+            F.concat(
+                F.lit("s"),
+                F.pmod(F.xxhash64("conv_id"), F.lit(n_streams)).cast("string"),
+            ),
+        )
+        .persist()
+    )
+    ev.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = {}
+    for mc in (1, 4):
+        tdir = tempfile.mkdtemp(prefix=f"pw-ms{mc}-", dir=scratch)
+        pipes = {}
+        for i in range(n_streams):
+            s = f"s{i}"
+            t = LakeTable.create(
+                spark, os.path.join(tdir, s), TRANSCRIPT_SCHEMA,
+                TRANSCRIPT_KEY, num_buckets=num_buckets,
+            )
+            pipes[s] = CdcPipeline(t, stream=s)
+        ms = MultiStreamPipeline(pipes, max_concurrency=mc)
+        t0 = time.perf_counter()
+        ms.apply_batch(ev, batch_id=0)
+        out[f"concurrency_{mc}"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(tdir, ignore_errors=True)
+    ev.unpersist()
+    out["n_streams"] = n_streams
+    out["speedup"] = round(out["concurrency_1"] / out["concurrency_4"], 2)
+    return out
+
+
 def transform_stage_bench(spark, n: int, rows: int = 20_000_000) -> dict:
     """The transform/canonicalization stage in isolation (mask DSL +
     ISO formatting over generated rows, no input IO) — the CPU-bound
@@ -304,12 +355,15 @@ def run_default() -> dict:
     skew = cdc_apply_bench(spark, skew_path)
     mor = cdc_apply_bench(spark, events_path, mode="mor")
     big = bigtarget_merge_bench(spark)
+    ms = multistream_bench(spark, events_path)
     queries = {
         "cdc_apply": round(cdc["sec"], 3),
         "cdc_apply_skewed": round(skew["sec"], 3),
         "cdc_apply_mor": round(mor["sec"], 3),
         "merge_bigtarget_plain": big["plain"]["sec"],
         "merge_bigtarget_spj": big["spj"]["sec"],
+        "multistream6_seq": ms["concurrency_1"],
+        "multistream6_conc4": ms["concurrency_4"],
     }
     queries.update(query_benches(spark))
     total = time.perf_counter() - t_total0

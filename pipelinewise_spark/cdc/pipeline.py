@@ -49,6 +49,7 @@ class CdcPipeline:
         compact_delta_bytes: int | None = None,
         mode: str = "cow",
         validate: str = "permissive",
+        widen: str = "version",
         primary_key_required: bool = True,
     ):
         # reference default: a stream without key_properties is rejected
@@ -85,6 +86,10 @@ class CdcPipeline:
         #: T12 — record-validation mode for singer ingest ("permissive" |
         #: "strict"); strict FAILFASTs on malformed RECORD payloads.
         self.validate = validate
+        #: widening type changes (int→long, float→double) under
+        #: auto-evolve: "version" (reference parity) or "promote"
+        #: (in-place native promotion, evolution/drift.py).
+        self.widen = widen
         self.history: list[dict] = []
 
     # ------------------------------------------------------------- batching
@@ -109,7 +114,7 @@ class CdcPipeline:
                             self.op_col, self.lsn_col)
                 ]
             )
-            reconcile(self.table, payload)
+            reconcile(self.table, payload, widen=self.widen)
         metrics = merge_into(
             self.table,
             df,
@@ -168,7 +173,7 @@ class CdcPipeline:
         for msg in ctrl["SCHEMA"]:
             if msg.get("stream") == self.stream:
                 payload = jsonschema_to_struct(msg["schema"])
-                reconcile(self.table, payload)
+                reconcile(self.table, payload, widen=self.widen)
         if payload is None:
             payload = StructType(
                 [

@@ -31,14 +31,48 @@ def _tjson(dt) -> object:
     return json.loads(dt.json())
 
 
+# Widening chains the parquet reader converts natively (verified on
+# Spark 4.x: old INT32/FLOAT pages read directly into the wider
+# requested type — SPARK-40876 widening type promotion): a promote is a
+# pure metadata type change on the SAME physical column, mixed-era
+# files need no rewrite and no version-column churn.
+_WIDEN_CHAINS = (
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+)
+
+
+def _widens_to(cur: object, new: object) -> bool:
+    """True iff ``cur`` → ``new`` is a pure widening (both scalar type
+    names on the same chain, new strictly wider)."""
+    if not isinstance(cur, str) or not isinstance(new, str):
+        return False
+    for chain in _WIDEN_CHAINS:
+        if cur in chain and new in chain:
+            return chain.index(new) > chain.index(cur)
+    return False
+
+
 def diff_schemas(
     table: LakeTable,
     incoming: StructType,
     *,
     now: datetime | None = None,
+    widen: str = "version",
 ) -> list[dict]:
     """Compute evolution actions to reconcile the table with an incoming
-    stream schema (from a Singer SCHEMA message or a decoded batch)."""
+    stream schema (from a Singer SCHEMA message or a decoded batch).
+
+    ``widen`` — what a PURE WIDENING type change (int→long,
+    float→double) becomes: ``"version"`` (default, exact reference
+    parity: the reference compares mapped SQL types and versions every
+    change, ``db_sync.py:551-576``) or ``"promote"`` (native in-place
+    promotion: metadata-only type update on the same physical column —
+    no version-column churn, historical values remain queryable under
+    the original name). Narrowings and cross-family changes always
+    version."""
+    if widen not in ("version", "promote"):
+        raise ValueError(f"widen must be version|promote, got {widen!r}")
     now = now or datetime.now(timezone.utc)
     suffix = now.strftime("%Y%m%d_%H%M")
     current = {
@@ -52,14 +86,19 @@ def diff_schemas(
         if name not in current:
             actions.append({"action": "add_column", "name": name, "type": tj})
         elif current[name] != tj:
-            actions.append(
-                {
-                    "action": "version_column",
-                    "name": name,
-                    "type": tj,
-                    "versioned_name": f"{name}_{suffix}",
-                }
-            )
+            if widen == "promote" and _widens_to(current[name], tj):
+                actions.append(
+                    {"action": "promote_column", "name": name, "type": tj}
+                )
+            else:
+                actions.append(
+                    {
+                        "action": "version_column",
+                        "name": name,
+                        "type": tj,
+                        "versioned_name": f"{name}_{suffix}",
+                    }
+                )
     return actions
 
 
@@ -69,6 +108,7 @@ def reconcile(
     *,
     now: datetime | None = None,
     allow_key_type_change: bool = False,
+    widen: str = "version",
 ) -> list[dict]:
     """Diff + apply. Versioning a primary-key column would break the merge
     identity, so it is rejected unless explicitly allowed (the reference
@@ -76,12 +116,16 @@ def reconcile(
     covers BUCKET columns (which may differ from key_cols): versioning one
     rebinds bucket_expr to the fresh NULL-backfilled physical column,
     silently re-assigning every existing row's bucket — later merges would
-    probe/replace the wrong buckets and duplicate keys across buckets."""
-    actions = diff_schemas(table, incoming, now=now)
+    probe/replace the wrong buckets and duplicate keys across buckets.
+    PROMOTING a bucket column is just as unsafe even though values are
+    preserved: Spark's murmur3 hashes int and long inputs differently, so
+    the same logical key would route to a DIFFERENT bucket after the
+    promote — hence the guard covers promote_column too."""
+    actions = diff_schemas(table, incoming, now=now, widen=widen)
     protected = set(table.key_cols) | set(table.bucket_cols)
     for a in actions:
         if (
-            a["action"] == "version_column"
+            a["action"] in ("version_column", "promote_column")
             and a["name"] in protected
             and not allow_key_type_change
         ):

@@ -82,6 +82,112 @@ def test_mor_flood_delta_pressure_backstop(spark, tmp_path):
     assert pruned.where(F.col("conv_id") == some_conv).count() > 0
 
 
+def _widen_table(spark, tmp_path):
+    from pyspark.sql.types import (
+        FloatType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("score", FloatType()),
+        StructField("n_tokens", IntegerType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"],
+        num_buckets=2,
+    )
+    era1 = spark.createDataFrame(
+        [("a", 0, 1.5, 10), ("a", 1, 2.5, 20)], schema=schema
+    ).withColumn("_lsn", F.lit(1).cast("long"))
+    t.overwrite(era1)
+    return t
+
+
+def test_widen_promote_mixed_era_read(spark, tmp_path):
+    """widen='promote': int→long / float→double update the SAME physical
+    column's declared type (metadata-only); old narrow files and new wide
+    files read together through Spark's native parquet widening, with no
+    version-column churn and merges working across eras."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.evolution.drift import reconcile
+
+    t = _widen_table(spark, tmp_path)
+    wide = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),  # key: unchanged
+        StructField("score", DoubleType()),
+        StructField("n_tokens", LongType()),
+    ])
+    actions = reconcile(t, wide, widen="promote")
+    assert sorted(a["action"] for a in actions) == [
+        "promote_column", "promote_column",
+    ]
+    # no versioned columns appeared; physical names unchanged
+    names = [f["logical"] for f in t.manifest["fields"]]
+    assert names.count("score") == 1 and names.count("n_tokens") == 1
+    by = {f["logical"]: f for f in t.manifest["fields"]}
+    assert by["score"] == {"logical": "score", "physical": "score",
+                           "type": "double"}
+    # era-2 rows arrive wide, via the REAL merge
+    era2 = spark.createDataFrame(
+        [("a", 1, 9.5, 2**40, "U", 5), ("b", 0, 3.25, 7, "U", 6)],
+        schema="conv_id string, turn_idx int, score double, "
+               "n_tokens long, op string, lsn long",
+    )
+    merge_into(t, era2, batch_id=1)
+    got = {
+        (r.conv_id, r.turn_idx): (r.score, r.n_tokens)
+        for r in t.refresh().read().collect()
+    }
+    # era-1 narrow file read through the widened schema + era-2 wide
+    assert got == {
+        ("a", 0): (1.5, 10),
+        ("a", 1): (9.5, 2**40),
+        ("b", 0): (3.25, 7),
+    }
+    dt = dict(t.read().dtypes)
+    assert dt["score"] == "double" and dt["n_tokens"] == "bigint"
+    # aggregation across mixed-era files is exact
+    assert t.read().agg(F.sum("n_tokens")).first()[0] == 10 + 2**40 + 7
+
+
+def test_widen_default_still_versions_and_guards_hold(spark, tmp_path):
+    """Reference parity by default: the same widening under
+    widen='version' version-columns; narrowing always versions even
+    under promote; promoting a key/bucket column is rejected (murmur3
+    hashes int and long differently — the bucket routing would break)."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from pipelinewise_spark.evolution.drift import diff_schemas, reconcile
+
+    t = _widen_table(spark, tmp_path)
+    wide = StructType([StructField("score", DoubleType())])
+    acts = diff_schemas(t, wide)  # default widen="version"
+    assert [a["action"] for a in acts] == ["version_column"]
+    # narrowing under promote still versions
+    narrow = StructType([StructField("n_tokens", IntegerType())])
+    t2 = _widen_table(spark, tmp_path / "u")
+    reconcile(t2, StructType([StructField("n_tokens", LongType())]),
+              widen="promote")
+    assert [a["action"] for a in diff_schemas(t2, narrow, widen="promote")] \
+        == ["version_column"]
+    # key column promote rejected
+    with pytest.raises(ValueError, match="key"):
+        reconcile(
+            t, StructType([StructField("turn_idx", LongType())]),
+            widen="promote",
+        )
+
+
 def test_mor_byte_pressure_trigger(spark, tmp_path):
     """The bytes knob alone (chain knob off) also forces compaction."""
     t = LakeTable.create(
