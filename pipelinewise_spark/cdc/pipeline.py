@@ -50,6 +50,7 @@ class CdcPipeline:
         mode: str = "cow",
         validate: str = "permissive",
         widen: str = "version",
+        filter_applied_lsn: bool = True,
         primary_key_required: bool = True,
     ):
         # reference default: a stream without key_properties is rejected
@@ -90,6 +91,17 @@ class CdcPipeline:
         #: auto-evolve: "version" (reference parity) or "promote"
         #: (in-place native promotion, evolution/drift.py).
         self.widen = widen
+        #: drop events at/below the committed LSN bookmark before merging
+        #: (the reference tap-restart replay contract). REQUIRES the
+        #: source to deliver non-decreasing LSNs across micro-batches —
+        #: true of a binlog/WAL tail, FALSE for a multi-partition Kafka
+        #: topic, where batch boundaries follow per-partition OFFSETS and
+        #: a lagging partition's frames can carry LSNs below an already-
+        #: committed bookmark; the filter would silently drop them as
+        #: replays. For Kafka set False: exactly-once then rests on the
+        #: checkpoint + batch-id guard (per-partition offsets — exactly
+        #: the reference tap_kafka's own bookmark model, sync.py:80-93).
+        self.filter_applied_lsn = filter_applied_lsn
         self.history: list[dict] = []
 
     # ------------------------------------------------------------- batching
@@ -125,6 +137,7 @@ class CdcPipeline:
             pipeline_id=self.pipeline_id,
             stream=self.stream,
             mode=self.mode,
+            filter_applied_lsn=self.filter_applied_lsn,
         )
         self.history.append(metrics)
         if (

@@ -1396,6 +1396,207 @@ def t8_evolution(spark, sf):
     )
 
 
+_PROMOTE_SQL = """
+    WITH mark AS (
+      SELECT CAST(floor(max(event_id) * 0.5) AS BIGINT) AS m FROM events),
+    last AS (
+      SELECT user_id, event_id AS lsn, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, lsn AS last_lsn,
+           CASE WHEN lsn > (SELECT m FROM mark)
+                THEN CAST(floor(value * 100) AS BIGINT) + 34359738368
+                ELSE CAST(CAST(floor(value * 100) AS INTEGER) AS BIGINT)
+           END AS cnt,
+           round(CASE WHEN lsn > (SELECT m FROM mark) THEN value
+                 ELSE CAST(CAST(value AS REAL) AS DOUBLE) END, 6) AS score
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@q("t9_widen_promote", _PROMOTE_SQL)
+def t9_widen_promote(spark, sf):
+    """Widen-only native promotion under the oracle gate, through the
+    REAL machinery: batch 1 merges with NARROW columns (cnt int32,
+    score float32), reconcile(widen='promote') widens both declared
+    types in place (metadata-only — same physical columns, no version
+    churn; evolution/drift.py), batch 2 merges values only a wide type
+    can hold (cnt beyond int32 range, score at full double precision).
+    The final read serves era-1 narrow parquet pages through Spark's
+    native widening next to era-2 wide pages; the oracle folds the raw
+    events with the same era rule (narrow truncation before the mark,
+    wide after)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.evolution.drift import reconcile
+    from pipelinewise_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "value",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    mark = int(ev.agg(F.max("lsn") * 0.5).collect()[0][0])
+    from pyspark.sql.types import FloatType, IntegerType
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("cnt", IntegerType()),
+        StructField("score", FloatType()),
+    ])
+    d = _scratch_table_dir("promote", sf)
+    t = LakeTable.create(spark, d + "/t", schema, ["user_id"], num_buckets=8)
+    b1 = ev.where(F.col("lsn") <= mark).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("int").alias("cnt"),
+        F.col("value").cast("float").alias("score"),
+        "lsn", "op",
+    )
+    merge_into(t, b1, batch_id=0)
+    acts = reconcile(
+        t,
+        StructType([
+            StructField("cnt", LongType()),
+            StructField("score", DoubleType()),
+        ]),
+        widen="promote",
+    )
+    assert all(a["action"] == "promote_column" for a in acts), acts
+    b2 = ev.where(F.col("lsn") > mark).select(
+        "user_id",
+        (F.floor(F.col("value") * 100).cast("long") + 2**35).alias("cnt"),
+        F.col("value").alias("score"),
+        "lsn", "op",
+    )
+    merge_into(t, b2, batch_id=1)
+    return t.read().select(
+        "user_id",
+        F.col("_lsn").alias("last_lsn"),
+        "cnt",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+
+
+_KAFKA_FOLD_SQL = """
+    WITH src AS (
+      SELECT user_id, value, event_id, event_type
+      FROM events ORDER BY event_id LIMIT 200),
+    last AS (
+      SELECT user_id, event_id AS lsn, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM src)
+    SELECT user_id, lsn AS last_lsn, value AS last_value
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@q("s12_kafka_stream_fold", _KAFKA_FOLD_SQL)
+def s12_kafka_fold(spark, sf):
+    """S12 under the oracle gate: the first 200 events become singer
+    RECORD frames on a 3-partition topic (partition = user_id % 3, log
+    order = event_id — Kafka's per-partition ordering), the REAL reader
+    wiring consumes them through the in-process broker
+    (sources/kafka_stub.py, identical wire contract to the JVM source)
+    in capped micro-batches (maxOffsetsPerTrigger=64 → ≥4 bounded
+    runs), decode_records + merge fold them, and the final table state
+    must equal DuckDB's last-per-key fold of the same 200 events —
+    deletes (event_type=error → _sdc_deleted_at) removed. Reference:
+    tap_kafka/sync.py:117-468."""
+    import json as _json
+
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline
+    from pipelinewise_spark.lake.table import LakeTable
+    from pipelinewise_spark.sources.kafka import kafka_stream_reader
+    from pipelinewise_spark.sources.kafka_stub import (
+        InProcessKafkaSource,
+        append_messages,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    spark.dataSource.register(InProcessKafkaSource)
+    rows = (
+        _t(spark, sf, "events")
+        .select("user_id", "value", "event_id", "event_type")
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+    )
+    d = _scratch_table_dir("kafkafold", sf)
+    log = d + "/log"
+    parts: dict[int, list[str]] = {0: [], 1: [], 2: []}
+    for r in rows:
+        rec = {
+            "user_id": r.user_id,
+            "value": r.value,
+            "_sdc_lsn": r.event_id,
+        }
+        if r.event_type == "error":
+            rec["_sdc_deleted_at"] = "2024-01-01T00:00:00+00:00"
+        parts[r.user_id % 3].append(
+            _json.dumps(
+                {"type": "RECORD", "stream": "s12", "record": rec,
+                 "time_extracted": "2024-01-01T00:00:01+00:00"}
+            )
+        )
+    for p, vals in parts.items():
+        append_messages(log, "transcripts", p, vals)
+    payload = StructType([
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    t = LakeTable.create(spark, d + "/t", payload, ["user_id"], num_buckets=4)
+    # multi-partition Kafka does NOT deliver globally LSN-monotone
+    # micro-batches (batch boundaries follow per-partition offsets), so
+    # the LSN-bookmark prefix filter would drop a lagging partition's
+    # frames as replays — exactly-once rests on the checkpoint +
+    # batch-id guard instead, the reference tap_kafka's own
+    # per-partition-offset bookmark model (sync.py:80-93)
+    pipe = CdcPipeline(t, stream="s12", filter_applied_lsn=False)
+    reader = kafka_stream_reader(
+        spark, "stub:9092", "transcripts",
+        starting_offsets="earliest", max_offsets_per_trigger=64,
+        options={"log.dir": log}, format="kafka_stub",
+    )
+    applied: list[int] = []
+
+    def _fb(df, bid):
+        applied.append(
+            int(pipe.ingest_singer_lines(df, batch_id=bid).get("rows", 0))
+        )
+
+    # bounded-run drain (the reference's consumer loop): each availableNow
+    # run consumes one capped micro-batch; stop once every produced frame
+    # has been applied — the bookmark alone can't signal completion
+    # because the max-LSN partition may drain before the others
+    for _ in range(10):
+        if sum(applied) >= len(rows):
+            break
+        qh = (
+            reader.load()
+            .selectExpr("CAST(value AS STRING) AS value")
+            .writeStream.foreachBatch(_fb)
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(300)
+    return t.read().select(
+        "user_id",
+        F.col("_lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+    )
+
+
 _DISCOVERY_SQL = """
     SELECT column_name,
            CASE

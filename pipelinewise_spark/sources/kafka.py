@@ -85,6 +85,17 @@ def kafka_stream_reader(
     :func:`render_starting_offsets` for the last-consumed vs next-offset
     convention (``bookmark_is_last_consumed``).
 
+    .. important:: pair the consuming pipeline with
+       ``CdcPipeline(filter_applied_lsn=False)``: a multi-partition
+       topic's micro-batch boundaries follow per-partition OFFSETS, so
+       LSNs are NOT globally non-decreasing across batches and the
+       LSN-bookmark prefix filter would drop a lagging partition's
+       frames as replays. Exactly-once then rests on the Spark
+       checkpoint + the merge's batch-id guard — the same
+       per-partition-offset bookmark model the reference tap uses
+       (``tap_kafka/sync.py:80-93``). Caught by the
+       ``s12_kafka_stream_fold`` oracle query.
+
     ``format`` defaults to the real JVM source; tests pass
     ``"kafka_stub"`` (:mod:`pipelinewise_spark.sources.kafka_stub`) to
     execute this exact wiring — same options, same offset JSON, same

@@ -110,7 +110,10 @@ def test_kafka_to_merge_end_to_end(spark, stub, tmp_path):
         spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
         num_buckets=2,
     )
-    pipe = CdcPipeline(t, stream=STREAM)
+    # multi-partition topics: batch boundaries follow per-partition
+    # offsets, not global LSN order — the LSN prefix filter must be off
+    # (exactly-once = checkpoint + batch-id guard, the tap_kafka model)
+    pipe = CdcPipeline(t, stream=STREAM, filter_applied_lsn=False)
     reader = _reader(
         spark, log, starting_offsets="earliest", max_offsets_per_trigger=3
     )
