@@ -126,9 +126,20 @@ class _LakeTableStreamReader(DataSourceStreamReader):
             for rel in self._added_files(start["version"], end["version"])
         ]
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
-        # runs in an EXECUTOR task — one immutable parquet file per task
+    def read(self, partition: InputPartition):
+        # runs in an EXECUTOR task — one immutable parquet file per
+        # task, yielded as ARROW RECORD BATCHES (zero per-row Python:
+        # parquet pages → arrow → Spark's arrow ingestion; the
+        # tuple-yield path would pickle every row through the worker)
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from pipelinewise_spark.lake.table import _struct_from_fields
+
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+        except ImportError:  # pragma: no cover - pyspark always ships it
+            to_arrow_schema = None
 
         rel = partition.value
         full = os.path.join(self.path, rel)
@@ -141,14 +152,31 @@ class _LakeTableStreamReader(DataSourceStreamReader):
                 f"change-feed file {rel} was vacuumed; increase "
                 f"vacuum keep_versions above the consumer lag"
             )
-        cols = []
-        for f in self.fields:
+        if to_arrow_schema is None:
+            cols = []
+            for f in self.fields:
+                p = f["physical"]
+                if p in t.column_names:
+                    cols.append(t.column(p).to_pylist())
+                else:
+                    cols.append([None] * t.num_rows)
+            yield from zip(*cols)
+            return
+        target = to_arrow_schema(
+            _struct_from_fields(
+                [(f["logical"], f["type"]) for f in self.fields]
+            )
+        )
+        arrays = []
+        for f, tf in zip(self.fields, target):
             p = f["physical"]
             if p in t.column_names:
-                cols.append(t.column(p).to_pylist())
+                # cast covers pre-promotion narrow pages (int32→int64)
+                # and timezone normalization in one vectorized step
+                arrays.append(t.column(p).cast(tf.type).combine_chunks())
             else:  # pre-evolution file: logical column reads as NULL
-                cols.append([None] * t.num_rows)
-        yield from zip(*cols)
+                arrays.append(pa.nulls(t.num_rows, type=tf.type))
+        yield from pa.table(arrays, schema=target).to_batches()
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint; manifests are immutable —

@@ -122,12 +122,17 @@ def test_lake_stream_source_plans_one_partition_per_file(spark, tmp_path):
     parts = reader.partitions({"version": 0}, {"version": 1})
     added = t.refresh().manifest["summary"]["added_files"]
     assert len(parts) == len(added) > 1
-    rows = [r for p in parts for r in reader.read(p)]
-    assert len(rows) == sum(e["rows"] for e in added)
+    # per-partition reads yield ARROW RECORD BATCHES (vectorized path)
+    batches = [b for p in parts for b in reader.read(p)]
+    n_rows = sum(b.num_rows for b in batches)
+    assert n_rows == sum(e["rows"] for e in added)
+    import pyarrow as pa
+
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
     # and through the real engine: the streamed count matches, executed
     # as Spark tasks (driver-side decode is gone by construction)
     spark.dataSource.register(LakeTableStreamSource)
     got = _run_feed(
         spark, t.path, str(tmp_path / "c"), str(tmp_path / "out"), starting=0
     )
-    assert got.count() == len(rows)
+    assert got.count() == n_rows
