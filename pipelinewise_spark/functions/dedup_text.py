@@ -271,3 +271,78 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, delim: str = " ") -> Da
         ) * F.lit(2**bit if bit < 63 else -(2**63)).cast("long")
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive duplicate-cluster resolution: connected components
+    over the (undirected) verified-pair graph, by iterative min-label
+    propagation — each node adopts the minimum label among itself and
+    its neighbors until fixpoint, so ``component`` = the smallest doc
+    id reachable from the node. This closes the gap between PAIR
+    listing (A~B, B~C) and the CLUSTER a dedup policy actually needs
+    ({A,B,C} keep-one): pairwise survivors can drop both B and C while
+    keeping near-dup A, or keep two transitively-equal docs.
+
+    Spark shape: the canonical iterative-algorithm loop (same as the
+    k-means quantizer, functions/ann.py) — per iteration one join + one
+    groupBy(min), a SCALAR changed-count probe on the driver, results
+    persisted per round to cut lineage. Iterations needed = graph
+    diameter; near-dup clusters are dense (diameter 2-3 in practice).
+    Raises if ``max_iters`` rounds don't converge rather than returning
+    a partial labeling — for adversarial chain-shaped graphs raise the
+    bound (or precluster with :func:`minhash_signature_groups`).
+    Only nodes that appear in some pair are labeled; singletons are
+    their own trivial components and never enter the shuffle."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            nb = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nb_comp"))
+            )
+            merged = labels.join(
+                nb, labels["node"] == nb["src"], "left"
+            ).select(
+                labels["node"],
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", "comp")
+                ).alias("comp"),
+            )
+            new_labels = merged.select("node", "comp").persist()
+            changed = (
+                merged.where(F.col("comp") < F.col("old_comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component"),
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations; raise max_iters (graph diameter exceeds bound)"
+        )
+    finally:
+        edges.unpersist()

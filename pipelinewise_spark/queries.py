@@ -640,6 +640,38 @@ def dedup_survivors(spark, sf):
     return docs.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CTES[len("WITH ") :].rstrip()
+    + """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+    """
+)
+
+
+@q("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark, sf):
+    """Transitive duplicate clusters: connected components over the
+    verified MinHash-LSH pair graph (min-label propagation — the
+    iterative-join Spark shape). Pairwise survivors mishandle
+    transitivity (A~B, B~C with A!~C: keep-smaller-per-pair can drop
+    both B and C or keep transitive equals); component labeling gives
+    each cluster one canonical id. The oracle replays the SAME closure
+    with a recursive CTE over the identical pair list."""
+    pairs = dedup_text.minhash_dedup_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, threshold=0.8,
+    )
+    return dedup_text.connected_components(pairs)
+
+
 _STOP_SQL = {
     code: "(" + ", ".join(f"'{w}'" for w in T.STOPWORDS[code]) + ")"
     for code in T.STOPWORDS

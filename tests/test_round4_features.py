@@ -202,3 +202,25 @@ def test_mor_byte_pressure_trigger(spark, tmp_path):
     pipe.apply_batch(ev, batch_id=0)
     assert [h for h in pipe.history if h.get("control") == "auto_compact"]
     assert t.refresh().delta_pressure()["files"] == 0
+
+
+def test_connected_components_chain_and_convergence(spark):
+    """Min-label propagation handles transitive chains (A-B-C-D folds to
+    one component across multiple iterations) and fails loudly instead
+    of returning a partial labeling when the iteration bound is hit."""
+    from pipelinewise_spark.functions.dedup_text import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (11, 12)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 22: 20}
+    with pytest.raises(RuntimeError, match="converge"):
+        # a 5-node chain needs >1 round; bound of 1 must raise
+        connected_components(pairs, max_iters=1)
