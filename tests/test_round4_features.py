@@ -224,3 +224,56 @@ def test_connected_components_chain_and_convergence(spark):
     with pytest.raises(RuntimeError, match="converge"):
         # a 5-node chain needs >1 round; bound of 1 must raise
         connected_components(pairs, max_iters=1)
+
+
+def test_manifest_segment_auto_gate_transition(spark, tmp_path, monkeypatch):
+    """A growing table crosses MANIFEST_SEGMENT_AUTO_FILES mid-life: the
+    next commit transitions flat→segmented transparently — readers,
+    reopen, replay guard, time travel, and vacuum all keep working, and
+    subsequent commits rewrite only touched buckets' segments."""
+    import glob
+    import json as _json
+
+    import pipelinewise_spark.lake.table as lt
+    from pipelinewise_spark.cdc.merge import merge_into
+
+    monkeypatch.setattr(lt, "MANIFEST_SEGMENT_AUTO_FILES", 4)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4,
+    )
+    ev = generate_change_events(
+        spark, n_convs=16, turns_per_conv=3, n_updates=30
+    ).persist()
+    first_conv = ev.agg(F.min("conv_id")).first()[0]
+    # batch 0: one conversation only → ≤3 files, below the patched gate
+    merge_into(t, ev.where(F.col("conv_id") == first_conv), batch_id=0)
+    v1_flat = "segments" not in _json.load(
+        open(os.path.join(t.path, lt.MANIFEST_DIR, f"v{1:012d}.json"))
+    )
+    merge_into(t, ev.where(F.col("conv_id") != first_conv), batch_id=1)  # crosses gate
+    root2 = _json.load(
+        open(os.path.join(t.path, lt.MANIFEST_DIR, f"v{2:012d}.json"))
+    )
+    assert v1_flat and "segments" in root2 and "buckets" not in root2
+    # state correct through reopen; replay still guarded
+    t2 = LakeTable(spark, t.path)
+    rows = t2.read().count()
+    assert rows > 0 and t2.manifest["buckets"]
+    assert merge_into(t2, ev.where(F.col("conv_id") != first_conv), batch_id=1).get(
+        "skipped"
+    )
+    # time travel back across the transition reads the FLAT manifest
+    assert t2.read(version=1).count() > 0
+    # a 1-bucket merge rewrites exactly one segment
+    before = set(glob.glob(os.path.join(t.path, "_manifests", "seg-*")))
+    one = ev.orderBy(F.desc("lsn")).limit(1).withColumn(
+        "lsn", F.col("lsn") + 500
+    )
+    m = merge_into(t2, one, batch_id=2)
+    after = set(glob.glob(os.path.join(t.path, "_manifests", "seg-*")))
+    assert m["affected_buckets"] == 1 and len(after - before) == 1
+    # vacuum drops superseded segments and the table still reads
+    res = t2.vacuum(keep_versions=1, min_age_sec=0)
+    assert res["removed_segments"] >= 1
+    assert LakeTable(spark, t.path).read().count() == t2.read().count()
