@@ -140,9 +140,13 @@ class CdcPipeline:
             filter_applied_lsn=self.filter_applied_lsn,
         )
         self.history.append(metrics)
+        # cadence counts APPLIED BATCHES only — history also carries
+        # control records (auto_compact, activate_version) which must
+        # not shift or swallow the compact_every schedule
+        n_batches = sum(1 for h in self.history if "control" not in h)
         if (
             self.compact_every
-            and len(self.history) % self.compact_every == 0
+            and n_batches % self.compact_every == 0
         ):
             self.table.compact(max_files_per_bucket=self.max_files_per_bucket)
         elif self.mode == "mor" and (

@@ -336,13 +336,21 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select(
+                # materialize the result OUTSIDE the cache (localCheckpoint
+                # storage is released by the ContextCleaner when the DF is
+                # GC'd) so the loop's persisted frame can be freed here —
+                # returning the persisted DF itself would leak one cached
+                # labeling per call into executor storage
+                out = labels.select(
                     F.col("node").alias("doc_id"),
                     F.col("comp").alias("component"),
-                )
+                ).localCheckpoint(eager=True)
+                labels.unpersist()
+                return out
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             f"iterations; raise max_iters (graph diameter exceeds bound)"
         )
     finally:
+        labels.unpersist()
         edges.unpersist()

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -133,8 +132,6 @@ class _LakeTableStreamReader(DataSourceStreamReader):
         # tuple-yield path would pickle every row through the worker)
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from pipelinewise_spark.lake.table import _struct_from_fields
 
         try:
             from pyspark.sql.pandas.types import to_arrow_schema

@@ -1101,7 +1101,9 @@ def stream_conv_stats(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    qh.awaitTermination(300)
+    if not qh.awaitTermination(300):
+        qh.stop()
+        raise RuntimeError("conv-stats stream exceeded 300 s")
     all_updates = spark.createDataFrame(updates, CONV_STATS_SCHEMA)
     # n_events strictly increases per key with every emission, so the
     # final state per conversation is its max-n_events row
@@ -1602,13 +1604,16 @@ def s12_kafka_fold(spark, sf):
     applied: list[int] = []
 
     def _fb(df, bid):
-        applied.append(
-            int(pipe.ingest_singer_lines(df, batch_id=bid).get("rows", 0))
-        )
+        df = df.persist()
+        applied.append(df.count())  # frames consumed, not merge actions
+        try:
+            pipe.ingest_singer_lines(df, batch_id=bid)
+        finally:
+            df.unpersist()
 
     # bounded-run drain (the reference's consumer loop): each availableNow
     # run consumes one capped micro-batch; stop once every produced frame
-    # has been applied — the bookmark alone can't signal completion
+    # has been consumed — the bookmark alone can't signal completion
     # because the max-LSN partition may drain before the others
     for _ in range(10):
         if sum(applied) >= len(rows):
@@ -1621,7 +1626,13 @@ def s12_kafka_fold(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        qh.awaitTermination(300)
+        if not qh.awaitTermination(300):
+            qh.stop()
+            raise RuntimeError("kafka drain run exceeded 300 s")
+    if sum(applied) < len(rows):
+        raise RuntimeError(
+            f"kafka drain incomplete: {sum(applied)}/{len(rows)} frames"
+        )
     return t.read().select(
         "user_id",
         F.col("_lsn").alias("last_lsn"),

@@ -121,6 +121,11 @@ class _StubKafkaStreamReader(SimpleDataSourceStreamReader):
         self.starting = opts.get("startingoffsets", "latest")
         cap = opts.get("maxoffsetspertrigger")
         self.max_per_trigger = int(cap) if cap else None
+        # real-source default is true: data loss (log truncated below a
+        # checkpointed offset) fails the query unless explicitly waived
+        self.fail_on_data_loss = (
+            str(opts.get("failondataloss", "true")).lower() != "false"
+        )
 
     def initialOffset(self) -> dict:
         ends = _end_offsets(self.log_dir, self.topic)
@@ -136,8 +141,19 @@ class _StubKafkaStreamReader(SimpleDataSourceStreamReader):
         return {self.topic: out}
 
     def read(self, start: dict):
-        begin = start[self.topic]
+        begin = dict(start[self.topic])
         ends = _end_offsets(self.log_dir, self.topic)
+        # partitions created AFTER the stream started (topic repartition)
+        # join the feed from offset 0 — the real source's behavior
+        for p in ends:
+            begin.setdefault(p, 0)
+        for p in begin:
+            if ends.get(p, 0) < int(begin[p]) and self.fail_on_data_loss:
+                raise RuntimeError(
+                    f"data loss: partition {p} log end {ends.get(p, 0)} "
+                    f"< checkpointed offset {begin[p]} (truncated); set "
+                    f"failOnDataLoss=false to skip"
+                )
         lag = {
             p: max(0, ends.get(p, 0) - int(begin.get(p, 0))) for p in begin
         }

@@ -229,3 +229,40 @@ def test_kafka_wire_schema_matches_jvm_source(spark, stub, tmp_path):
         str(tmp_path / "c"),
     )
     assert json.loads(vals[0])["type"] == "RECORD"
+
+
+def test_kafka_stub_data_loss_and_new_partitions(spark, stub, tmp_path):
+    """Real-source edge semantics: a partition created after the stream
+    started joins the feed from offset 0; a log truncated below the
+    checkpointed offset fails loudly under failOnDataLoss (the default)
+    and clamps silently only when explicitly waived."""
+    from pipelinewise_spark.sources.kafka_stub import _StubKafkaStreamReader
+
+    log = str(tmp_path / "log")
+    append_messages(log, "transcripts", 0, [_frame("A", i, i + 1, "x")
+                                            for i in range(4)])
+    rdr = _StubKafkaStreamReader(
+        {"log.dir": log, "subscribe": "transcripts",
+         "startingOffsets": "earliest"}
+    )
+    start = rdr.initialOffset()
+    rows, end = rdr.read(start)
+    assert end["transcripts"]["0"] == 4
+    # late partition: created after the checkpointed offset map
+    append_messages(log, "transcripts", 1, [_frame("B", 0, 9, "y")])
+    rows, end2 = rdr.read(end)
+    vals = list(rows)
+    assert end2["transcripts"]["1"] == 1 and len(vals) == 1
+    # truncation below the checkpoint: loud by default, clamped on waiver
+    import os
+
+    os.remove(os.path.join(log, "transcripts-0.jsonl"))
+    append_messages(log, "transcripts", 0, [_frame("A", 0, 99, "z")])
+    with pytest.raises(RuntimeError, match="data loss"):
+        rdr.read(end2)
+    waived = _StubKafkaStreamReader(
+        {"log.dir": log, "subscribe": "transcripts",
+         "startingOffsets": "earliest", "failOnDataLoss": "false"}
+    )
+    rows, end3 = waived.read(end2)
+    assert list(rows) == [] and end3["transcripts"]["0"] == 4
