@@ -59,9 +59,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     base = tempfile.mkdtemp(prefix="pw-soak-", dir=scratch)
+    segmented = os.environ.get("PW_SOAK_SEGMENTED", "0") == "1"
     table = LakeTable.create(
         spark, os.path.join(base, "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
         num_buckets=64,
+        properties={"manifest_segmented": True} if segmented else None,
     )
     t0 = time.time()
     table.overwrite(gen(spark, n_target, 0, n_target).drop("lsn", "op"))
@@ -109,8 +111,14 @@ def main():
     walls_s = sorted(walls)
     half = len(walls) // 2
     first, second = walls[:half], walls[half:]
+    import glob
+    mdir = os.path.join(table.path, "_manifests")
+    root_sz = max(os.path.getsize(f) for f in glob.glob(mdir + "/v*.json"))
     summary = {
         "metric": "spj_soak",
+        "segmented": segmented,
+        "n_segments": len(table.manifest.get("segments", {})),
+        "root_manifest_kb": round(root_sz / 1024, 1),
         "n_target": n_target,
         "target_gb": round(tgt_bytes / 1e9, 2),
         "n_batches": n_batches,
