@@ -640,6 +640,78 @@ def dedup_survivors(spark, sf):
     return docs.select("doc_id").join(drop, "doc_id", "left_anti")
 
 
+_H60 = "CAST(('0x' || substr(md5('{salt}|' || {col}), 1, 15)) AS BIGINT)"
+
+
+@q(
+    "sample_stratified",
+    f"""
+    WITH langs AS (
+      SELECT doc_id, text,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'en'
+                  WHEN 1 THEN 'de' ELSE 'fr' END AS lang
+      FROM documents)
+    SELECT doc_id, lang FROM langs
+    WHERE {_H60.format(salt='sample', col='doc_id')} <
+          CASE lang WHEN 'en' THEN CAST(0.5 * 1152921504606846976 AS BIGINT)
+                    WHEN 'de' THEN CAST(0.2 * 1152921504606846976 AS BIGINT)
+                    ELSE 0 END
+    """,
+)
+def sample_stratified(spark, sf):
+    """Deterministic stratified sampling — the corpus-mixture stage of a
+    training-data export: keep 50% of 'en', 20% of 'de', drop 'fr', by
+    a pure md5-derived hash threshold (no rand(), no shuffle, exactly
+    reproducible across runs and engines). The oracle reproduces the
+    identical sample membership in DuckDB."""
+    from pipelinewise_spark.functions.sampling import deterministic_sample
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, "en")
+        .when(F.col("doc_id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = deterministic_sample(
+        docs, "doc_id", {"en": 0.5, "de": 0.2}, stratify_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+@q(
+    "export_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_H60.format(salt='shard', col='doc_id')} AS sort_key
+      FROM documents)
+    SELECT CAST(sort_key % 8 AS INT) AS shard,
+           count(*) AS n_docs,
+           min(sort_key) AS first_key,
+           max(sort_key) AS last_key
+    FROM h GROUP BY 1
+    """,
+)
+def export_shards(spark, sf):
+    """Deterministic shard assignment + hash-order corpus shuffle — the
+    export stage: shard = hash60(id) % 8, within-shard order by the
+    hash itself (decorrelates neighboring source rows before sequential
+    training reads; byte-stable across re-runs, unlike repartition's
+    round-robin). Verified per shard: row count and the first/last
+    ordering keys — i.e. both the membership AND the ordering ends
+    match the oracle."""
+    from pipelinewise_spark.functions.sampling import shard_assignment
+
+    out = shard_assignment(_t(spark, sf, "documents"), "doc_id", 8)
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("sort_key").alias("first_key"),
+        F.max("sort_key").alias("last_key"),
+    )
+
+
 _COMPONENTS_SQL = (
     "WITH RECURSIVE "
     + _MINHASH_CTES[len("WITH ") :].rstrip()
