@@ -277,3 +277,35 @@ def test_manifest_segment_auto_gate_transition(spark, tmp_path, monkeypatch):
     res = t2.vacuum(keep_versions=1, min_age_sec=0)
     assert res["removed_segments"] >= 1
     assert LakeTable(spark, t.path).read().count() == t2.read().count()
+
+
+def test_sampling_and_shards_partitioning_invariant(spark, tmp_path):
+    """The export stage's determinism contract: sample membership and
+    shard assignment depend only on row VALUES, never on partitioning,
+    ordering, or run count — re-running over a repartitioned copy of
+    the corpus reproduces identical output (what makes shards
+    resumable/diffable; repartition round-robin or rand() would not)."""
+    from pipelinewise_spark.functions.sampling import (
+        deterministic_sample,
+        shard_assignment,
+    )
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    shuffled = docs.repartition(13).sortWithinPartitions(F.desc("doc_id"))
+    a = deterministic_sample(docs, "doc_id", 0.3)
+    b = deterministic_sample(shuffled, "doc_id", 0.3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    n = a.count()
+    assert 0.25 * 2000 < n < 0.35 * 2000  # rate is actually ~uniform
+    # independent salts draw (near-)independent samples
+    c = deterministic_sample(docs, "doc_id", 0.3, salt="other")
+    overlap = a.join(c, "doc_id").count()
+    assert abs(overlap - 0.09 * 2000) < 0.05 * 2000
+    sa = shard_assignment(docs, "doc_id", 8).select("doc_id", "shard", "sort_key")
+    sb = shard_assignment(shuffled, "doc_id", 8).select("doc_id", "shard", "sort_key")
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+    sizes = [r.n for r in sa.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8 and max(sizes) < 2 * min(sizes)  # balanced
