@@ -310,6 +310,24 @@ def kmeans_cells(
 
     Returns (id_col, cell). One job per iteration: broadcast-literal
     argmin (no join) + one groupBy mean."""
+    assigned, _ = _kmeans_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    return assigned.select(F.col("id").alias(id_col), "cell")
+
+
+def _kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+):
+    """Shared deterministic-Lloyd core: returns ``(assigned_df,
+    centroids)`` where assigned has columns (id, v, cell) and centroids
+    is the [(cell_id, vector), ...] list the FINAL assignment used —
+    needed by the PQ encoder's asymmetric-distance scoring."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -353,7 +371,7 @@ def kmeans_cells(
         # centroid table, which is the determinism contract
         centroids = sorted((r["cell"], list(r["cv"])) for r in means)
         assigned = assign(centroids)
-    return assigned.select(F.col("id").alias(id_col), "cell")
+    return assigned, centroids
 
 
 def label_centroids(
@@ -427,3 +445,133 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization ENCODER: split each vector into ``m``
+    subvectors of ``sub_dim`` dims, train an independent deterministic
+    k-means codebook per subspace (same md5-spread/rounding contract as
+    :func:`kmeans_cells`, so the oracle can replay it), and emit each
+    vector's code word — columns (id_col, code0..code{m-1}).
+
+    Scale story: PQ compresses a d-dim float32 vector to m bytes
+    (m·log2(k) bits) — at 10⁹ vectors the codes table fits where raw
+    embeddings cannot, and ADC scoring (:func:`pq_adc_topk`) scans
+    codes with per-query lookup tables instead of touching raw vectors.
+    Training is m independent kmeans runs (k·sub_dim doubles collected
+    per iteration per subspace — the bounded iterative shape)."""
+    out = None
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"),
+                j * sub_dim + 1,
+                sub_dim,
+            ).alias("sub"),
+        )
+        assigned, _ = _kmeans_fit(
+            sub, id_col=id_col, vec_col="sub", k=k, iters=iters
+        )
+        cells = assigned.select(
+            F.col("id").alias(id_col), F.col("cell").alias(f"code{j}")
+        )
+        out = cells if out is None else out.join(cells, id_col)
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate
+    ``||q - x||² ≈ Σ_j ||q_sub_j - centroid_{j, code_j(x)}||²``. Per
+    query the m·k partial distances are computed DRIVER-side from the
+    trained codebooks (collected anyway — k·sub_dim doubles per
+    subspace) and embedded as literal lookup arrays, so scoring the
+    corpus is a pure projection over the CODES table: no join, no raw
+    vectors touched, one scan + one top-k aggregate. Queries must be a
+    small broadcastable set (the per-query lookup is m·k literals)."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    codebooks = []  # per subspace: {cell: vector}
+    codes = None
+    for j in range(m):
+        sub = base.select(
+            F.col(id_col),
+            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        assigned, cents = _kmeans_fit(
+            sub, id_col=id_col, vec_col="sub", k=k, iters=iters
+        )
+        codebooks.append(dict(cents))
+        cells = assigned.select(
+            F.col("id").alias(id_col), F.col("cell").alias(f"code{j}")
+        )
+        codes = cells if codes is None else codes.join(cells, id_col)
+    q_rows = queries.select(
+        F.col(q_id_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    per_query = []
+    for qr in q_rows:
+        qv = list(qr["qv"])
+        score = None
+        for j in range(m):
+            qs = qv[j * sub_dim : (j + 1) * sub_dim]
+            # dense cell_id -> d2 lookup; a dropped (empty) cell never
+            # appears as a code, its slot is a placeholder
+            lut = []
+            cells_j = codebooks[j]
+            max_cell = max(cells_j) if cells_j else -1
+            for c in range(max_cell + 1):
+                cv = cells_j.get(c)
+                d2 = (
+                    sum((a - b) ** 2 for a, b in zip(qs, cv))
+                    if cv is not None
+                    else float("inf")
+                )
+                lut.append(round(d2, 6))
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in lut]), F.col(f"code{j}") + 1
+            )
+            score = term if score is None else score + term
+        per_query.append(
+            F.struct(
+                F.lit(qr[q_id_col]).alias("q"),
+                F.round(score, 6).alias("d2"),
+            )
+        )
+    exploded = codes.select(
+        F.col(id_col),
+        F.explode(F.array(*per_query)).alias("s"),
+    ).select(
+        F.col("s.q").alias(q_id_col), F.col(id_col), F.col("s.d2").alias("d2")
+    )
+    w_rank = F.row_number().over(
+        Window.partitionBy(q_id_col).orderBy(F.col("d2"), F.col(id_col))
+    )
+    return (
+        exploded.withColumn("rank", w_rank)
+        .where(F.col("rank") <= top_k)
+        .select(q_id_col, id_col, "d2", "rank")
+    )

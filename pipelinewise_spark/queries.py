@@ -1441,6 +1441,73 @@ def ann_kmeans(spark, sf):
     return ann.kmeans_cells(_t(spark, sf, "embeddings"), k=8, iters=2)
 
 
+def _pq_sub_sql(j: int, sub_dim: int, k: int) -> str:
+    """One subspace's deterministic-kmeans CTE chain (suffix ``_{j}``):
+    slice → md5-spread init → assign → mean → assign, identical to
+    _KMEANS_SQL but over ``embedding[lo:hi]``."""
+    lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
+    d2 = (
+        "round(list_dot_product(b.v, b.v) + list_dot_product(c.v, c.v)"
+        " - 2 * list_dot_product(b.v, c.v), 6)"
+    )
+
+    def assign(cents: str) -> str:
+        return f"""
+      SELECT id, v, cell FROM (
+        SELECT b.id, b.v, c.cell,
+               row_number() OVER (PARTITION BY b.id
+                                  ORDER BY {d2}, c.cell) AS rn
+        FROM base_{j} b CROSS JOIN {cents} c) WHERE rn = 1"""
+
+    return f"""
+    base_{j} AS (
+      SELECT vec_id AS id, (embedding::DOUBLE[])[{lo}:{hi}] AS v
+      FROM embeddings),
+    init_{j} AS (
+      SELECT rn - 1 AS cell, v FROM (
+        SELECT v, row_number() OVER (
+          ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        FROM base_{j}) WHERE rn <= {k}),
+    a0_{j} AS ({assign(f'init_{j}')}),
+    m1_{j} AS (
+      SELECT cell, u.idx, round(avg(u.x), 6) AS m
+      FROM (SELECT cell, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS idx FROM a0_{j}) u(cell, x, idx)
+      GROUP BY cell, u.idx),
+    c1_{j} AS (SELECT cell, list(m ORDER BY idx) AS v FROM m1_{j} GROUP BY cell),
+    a1_{j} AS ({assign(f'c1_{j}')})"""
+
+
+_PQ_SQL = (
+    "WITH "
+    + ",".join(_pq_sub_sql(j, 16, 8) for j in range(4))
+    + """
+    SELECT a1_0.id AS vec_id,
+           a1_0.cell AS code0, a1_1.cell AS code1,
+           a1_2.cell AS code2, a1_3.cell AS code3
+    FROM a1_0 JOIN a1_1 ON a1_1.id = a1_0.id
+              JOIN a1_2 ON a1_2.id = a1_0.id
+              JOIN a1_3 ON a1_3.id = a1_0.id
+    """
+)
+
+
+@q("ann_pq_codes", _PQ_SQL)
+def ann_pq_codes(spark, sf):
+    """Product-quantization encoder under the oracle gate: 4 subspaces
+    of 16 dims, an independent deterministic-kmeans codebook (k=8, 2
+    Lloyd iterations, md5-spread init, 6-decimal rounding) per
+    subspace, every vector encoded to its per-subspace nearest
+    centroid. The oracle replays all four codebook trainings and the
+    encoding in SQL — any drift in slicing, init order, distance
+    rounding, or the mean update breaks the hash. PQ compresses d-dim
+    vectors to m codes for ADC scanning (functions/ann.pq_adc_topk):
+    the at-scale path where raw embeddings no longer fit."""
+    return ann.pq_codes(
+        _t(spark, sf, "embeddings"), m=4, sub_dim=16, k=8, iters=2
+    )
+
+
 _EVOLUTION_SQL = """
     WITH mark AS (
       -- floor to match Python int() truncation (see _LAKE_CHANGES_SQL)

@@ -309,3 +309,69 @@ def test_sampling_and_shards_partitioning_invariant(spark, tmp_path):
     assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
     sizes = [r.n for r in sa.groupBy("shard").agg(F.count("*").alias("n")).collect()]
     assert len(sizes) == 8 and max(sizes) < 2 * min(sizes)  # balanced
+
+
+def test_pq_adc_structural_properties(spark):
+    """PQ/ADC sanity on the driver's embeddings: scoring is a pure
+    projection over the codes (no raw vectors at scan time), results
+    are partitioning-invariant, each query's own vector lands at the
+    top of its ranking (minimal reconstruction error), and recall vs
+    exact euclidean beats chance by a wide margin even on structure-free
+    random vectors."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.functions import ann
+    from pipelinewise_spark.functions.ann import dot
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = ann.pq_adc_topk(emb, q, m=4, sub_dim=16, k=8, iters=2, top_k=10)
+    rows = top.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, lst in by_q.items():
+        assert len(lst) == 10
+        # own vector has minimal quantization error → top of its list
+        assert (1, qid) in lst
+    # partitioning invariance (the determinism contract)
+    top2 = ann.pq_adc_topk(
+        emb.repartition(7), q, m=4, sub_dim=16, k=8, iters=2, top_k=10
+    )
+    assert top.exceptAll(top2).count() == 0
+    # recall vs exact euclidean: far above the ~k²/n chance level
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qq = q.select(
+        "q_id", F.col("embedding").cast("array<double>").alias("qv")
+    )
+    d2 = (
+        dot(F.col("qv"), F.col("qv"))
+        + dot(F.col("cv"), F.col("cv"))
+        - 2 * dot(F.col("qv"), F.col("cv"))
+    )
+    ex = (
+        F.broadcast(qq).crossJoin(c)
+        .select("q_id", "nid", d2.alias("d2"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d2", "nid")
+            ),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    ex_sets = {}
+    for r in ex.collect():
+        ex_sets.setdefault(r.q_id, set()).add(r.nid)
+    overlap = sum(
+        len({v for _, v in by_q[qid]} & ex_sets[qid]) for qid in ex_sets
+    )
+    chance = 5 * 10 * 10 / n  # ≈1 expected hit across all 5 queries
+    assert overlap >= 4 * chance
