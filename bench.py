@@ -219,6 +219,39 @@ def multistream_bench(
     return out
 
 
+def feed_drain_bench(spark, events_path: str, *, num_buckets: int = 32) -> dict:
+    """Change-feed consumer throughput: build a table from the bench
+    events, then drain it from version 0 through the native laketable
+    readStream (executor-parallel per-file partitions, Arrow RecordBatch
+    reads) into a noop sink."""
+    from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.stream_source import LakeTableStreamSource
+    from pipelinewise_spark.lake.table import LakeTable
+
+    spark.dataSource.register(LakeTableStreamSource)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tdir = tempfile.mkdtemp(prefix="pw-feed-", dir=scratch)
+    t = LakeTable.create(
+        spark, os.path.join(tdir, "t"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=num_buckets,
+    )
+    merge_into(t, spark.read.parquet(events_path), batch_id=0, stream="f")
+    rows = t.read().count()
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("laketable")
+        .option("path", t.path).option("startingVersion", 0).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(tdir, "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(tdir, ignore_errors=True)
+    return {"sec": dt, "rows": rows, "rows_per_sec": rows / dt}
+
+
 def transform_stage_bench(spark, n: int, rows: int = 20_000_000) -> dict:
     """The transform/canonicalization stage in isolation (mask DSL +
     ISO formatting over generated rows, no input IO) — the CPU-bound
@@ -294,6 +327,8 @@ def query_benches(spark) -> dict:
         "text_lang_id",
         "ann_cosine_topk",
         "stream_windowed_rates",
+        "export_shards",
+        "sample_stratified",
         "multimodal_features",
         "multimodal_frames",
     ]
@@ -356,6 +391,7 @@ def run_default() -> dict:
     mor = cdc_apply_bench(spark, events_path, mode="mor")
     big = bigtarget_merge_bench(spark)
     ms = multistream_bench(spark, events_path)
+    feed = feed_drain_bench(spark, events_path)
     queries = {
         "cdc_apply": round(cdc["sec"], 3),
         "cdc_apply_skewed": round(skew["sec"], 3),
@@ -364,6 +400,7 @@ def run_default() -> dict:
         "merge_bigtarget_spj": big["spj"]["sec"],
         "multistream6_seq": ms["concurrency_1"],
         "multistream6_conc4": ms["concurrency_4"],
+        "lake_feed_drain": round(feed["sec"], 3),
     }
     queries.update(query_benches(spark))
     total = time.perf_counter() - t_total0
