@@ -67,10 +67,15 @@ class _LakeTableStreamReader(DataSourceStreamReader):
     executor tasks (the driver never opens a data file)."""
 
     def __init__(self, schema: StructType, options: dict):
+        opts = {k.lower(): v for k, v in options.items()}
         self.path = os.path.abspath(options["path"])
         self.fields = _load_manifest(
             self.path, _manifest_versions(self.path)[-1]
         )["fields"]
+        # small files PACK into shared partitions up to this many bytes
+        # (per-task Python-worker startup dominates tiny-file reads —
+        # packing amortizes it; a big file still gets its own task)
+        self.max_bytes = int(opts.get("maxbytesperpartition", 64 << 20))
         # highest version this reader has observed — rollback tripwire
         self._max_seen = -1
 
@@ -92,8 +97,8 @@ class _LakeTableStreamReader(DataSourceStreamReader):
         self._max_seen = latest
         return {"version": latest}
 
-    def _added_files(self, after: int, upto: int) -> list[str]:
-        rels: list[str] = []
+    def _added_files(self, after: int, upto: int) -> list[tuple[str, int]]:
+        rels: list[tuple[str, int]] = []
         for v in range(after + 1, upto + 1):
             try:
                 m = _load_manifest(self.path, v)
@@ -106,7 +111,7 @@ class _LakeTableStreamReader(DataSourceStreamReader):
                     f"vacuum keep_versions above the consumer lag"
                 )
             for ent in m.get("summary", {}).get("added_files", []):
-                rels.append(ent["path"])
+                rels.append((ent["path"], int(ent.get("bytes") or 0)))
         return rels
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -120,10 +125,24 @@ class _LakeTableStreamReader(DataSourceStreamReader):
                 f"was rolled back or re-created; restart the consumer "
                 f"with a fresh checkpoint"
             )
-        return [
-            InputPartition(rel)
-            for rel in self._added_files(start["version"], end["version"])
-        ]
+        # greedy pack in commit order: consecutive small files share a
+        # partition up to maxBytesPerPartition — partition count scales
+        # with DATA VOLUME, not file count (192 tiny bucket files in one
+        # range must not cost 192 Python-worker startups)
+        groups: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for rel, nbytes in self._added_files(
+            start["version"], end["version"]
+        ):
+            if cur and cur_bytes + nbytes > self.max_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(rel)
+            cur_bytes += nbytes
+        if cur:
+            groups.append(cur)
+        return [InputPartition(g) for g in groups]
 
     def read(self, partition: InputPartition):
         # runs in an EXECUTOR task — one immutable parquet file per
@@ -138,42 +157,46 @@ class _LakeTableStreamReader(DataSourceStreamReader):
         except ImportError:  # pragma: no cover - pyspark always ships it
             to_arrow_schema = None
 
-        rel = partition.value
-        full = os.path.join(self.path, rel)
-        try:
-            t = pq.read_table(full)
-        except FileNotFoundError:
-            # vacuumed beyond retention — fail loudly rather than
-            # silently dropping a slice of the feed
-            raise RuntimeError(
-                f"change-feed file {rel} was vacuumed; increase "
-                f"vacuum keep_versions above the consumer lag"
+        target = None
+        if to_arrow_schema is not None:
+            target = to_arrow_schema(
+                _struct_from_fields(
+                    [(f["logical"], f["type"]) for f in self.fields]
+                )
             )
-        if to_arrow_schema is None:
-            cols = []
-            for f in self.fields:
+        for rel in partition.value:
+            full = os.path.join(self.path, rel)
+            try:
+                t = pq.read_table(full)
+            except FileNotFoundError:
+                # vacuumed beyond retention — fail loudly rather than
+                # silently dropping a slice of the feed
+                raise RuntimeError(
+                    f"change-feed file {rel} was vacuumed; increase "
+                    f"vacuum keep_versions above the consumer lag"
+                )
+            if target is None:
+                cols = []
+                for f in self.fields:
+                    p = f["physical"]
+                    if p in t.column_names:
+                        cols.append(t.column(p).to_pylist())
+                    else:
+                        cols.append([None] * t.num_rows)
+                yield from zip(*cols)
+                continue
+            arrays = []
+            for f, tf in zip(self.fields, target):
                 p = f["physical"]
                 if p in t.column_names:
-                    cols.append(t.column(p).to_pylist())
-                else:
-                    cols.append([None] * t.num_rows)
-            yield from zip(*cols)
-            return
-        target = to_arrow_schema(
-            _struct_from_fields(
-                [(f["logical"], f["type"]) for f in self.fields]
-            )
-        )
-        arrays = []
-        for f, tf in zip(self.fields, target):
-            p = f["physical"]
-            if p in t.column_names:
-                # cast covers pre-promotion narrow pages (int32→int64)
-                # and timezone normalization in one vectorized step
-                arrays.append(t.column(p).cast(tf.type).combine_chunks())
-            else:  # pre-evolution file: logical column reads as NULL
-                arrays.append(pa.nulls(t.num_rows, type=tf.type))
-        yield from pa.table(arrays, schema=target).to_batches()
+                    # cast covers pre-promotion narrow pages (int32→
+                    # int64) and timezone normalization in one step
+                    arrays.append(
+                        t.column(p).cast(tf.type).combine_chunks()
+                    )
+                else:  # pre-evolution file: logical column → NULL
+                    arrays.append(pa.nulls(t.num_rows, type=tf.type))
+            yield from pa.table(arrays, schema=target).to_batches()
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint; manifests are immutable —

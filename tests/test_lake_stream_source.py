@@ -119,9 +119,15 @@ def test_lake_stream_source_plans_one_partition_per_file(spark, tmp_path):
     )
     merge_into(t, ev, batch_id=0)
     reader = _LakeTableStreamReader(t.read().schema, {"path": t.path})
-    parts = reader.partitions({"version": 0}, {"version": 1})
     added = t.refresh().manifest["summary"]["added_files"]
-    assert len(parts) == len(added) > 1
+    assert len(added) > 1
+    # default plan PACKS tiny files (partitions scale with bytes, not
+    # file count); maxBytesPerPartition=1 degenerates to one per file
+    packed = reader.partitions({"version": 0}, {"version": 1})
+    assert 1 <= len(packed) < len(added)
+    reader.max_bytes = 1
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert len(parts) == len(added)
     # per-partition reads yield ARROW RECORD BATCHES (vectorized path)
     batches = [b for p in parts for b in reader.read(p)]
     n_rows = sum(b.num_rows for b in batches)
@@ -129,6 +135,8 @@ def test_lake_stream_source_plans_one_partition_per_file(spark, tmp_path):
     import pyarrow as pa
 
     assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    # packed plan reads the same rows
+    assert sum(b.num_rows for p in packed for b in reader.read(p)) == n_rows
     # and through the real engine: the streamed count matches, executed
     # as Spark tasks (driver-side decode is gone by construction)
     spark.dataSource.register(LakeTableStreamSource)
