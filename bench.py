@@ -246,7 +246,9 @@ def feed_drain_bench(spark, events_path: str, *, num_buckets: int = 32) -> dict:
         .option("checkpointLocation", os.path.join(tdir, "ck"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("feed drain exceeded 600 s")
     dt = time.perf_counter() - t0
     shutil.rmtree(tdir, ignore_errors=True)
     return {"sec": dt, "rows": rows, "rows_per_sec": rows / dt}

@@ -447,6 +447,50 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _pq_fit(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    k: int,
+    iters: int,
+):
+    """Train the m per-subspace codebooks ONCE and encode the corpus in
+    ONE projection (no joins): per subspace the trained centroids become
+    a broadcast-literal argmin expression over the vector slice — the
+    same expression shape (rounded d2, tie on cell id) _kmeans_fit's
+    final assignment used, so the single-select encoding is bit-equal to
+    the per-subspace assignments. Returns ``(codes_df, codebooks)`` with
+    codebooks[j] = {cell: centroid_vector}."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    codebooks: list[dict] = []
+    for j in range(m):
+        sub = base.select(
+            F.col(id_col),
+            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        _, cents = _kmeans_fit(
+            sub, id_col=id_col, vec_col="sub", k=k, iters=iters
+        )
+        codebooks.append(dict(cents))
+    exprs = []
+    for j, cb in enumerate(codebooks):
+        sv = F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
+        sv_dot = dot(sv, sv)
+        opts = []
+        for cell_id, cv in sorted(cb.items()):
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            cc = float(sum(x * x for x in cv))
+            d2 = F.round(sv_dot + F.lit(cc) - 2.0 * dot(sv, arr), 6)
+            opts.append(F.struct(d2.alias("d"), F.lit(cell_id).alias("c")))
+        exprs.append(F.array_min(F.array(*opts))["c"].alias(f"code{j}"))
+    return base.select(F.col(id_col), *exprs), codebooks
+
+
 def pq_codes(
     df: DataFrame,
     *,
@@ -461,32 +505,20 @@ def pq_codes(
     subvectors of ``sub_dim`` dims, train an independent deterministic
     k-means codebook per subspace (same md5-spread/rounding contract as
     :func:`kmeans_cells`, so the oracle can replay it), and emit each
-    vector's code word — columns (id_col, code0..code{m-1}).
+    vector's code word — columns (id_col, code0..code{m-1}) from ONE
+    projection over the corpus.
 
-    Scale story: PQ compresses a d-dim float32 vector to m bytes
+    Scale story: PQ compresses a d-dim float32 vector to m codes
     (m·log2(k) bits) — at 10⁹ vectors the codes table fits where raw
     embeddings cannot, and ADC scoring (:func:`pq_adc_topk`) scans
     codes with per-query lookup tables instead of touching raw vectors.
     Training is m independent kmeans runs (k·sub_dim doubles collected
     per iteration per subspace — the bounded iterative shape)."""
-    out = None
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"),
-                j * sub_dim + 1,
-                sub_dim,
-            ).alias("sub"),
-        )
-        assigned, _ = _kmeans_fit(
-            sub, id_col=id_col, vec_col="sub", k=k, iters=iters
-        )
-        cells = assigned.select(
-            F.col("id").alias(id_col), F.col("cell").alias(f"code{j}")
-        )
-        out = cells if out is None else out.join(cells, id_col)
-    return out
+    codes, _ = _pq_fit(
+        df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
+        iters=iters,
+    )
+    return codes
 
 
 def pq_adc_topk(
@@ -501,33 +533,23 @@ def pq_adc_topk(
     k: int = 8,
     iters: int = 2,
     top_k: int = 10,
+    model: tuple | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: approximate
     ``||q - x||² ≈ Σ_j ||q_sub_j - centroid_{j, code_j(x)}||²``. Per
     query the m·k partial distances are computed DRIVER-side from the
-    trained codebooks (collected anyway — k·sub_dim doubles per
-    subspace) and embedded as literal lookup arrays, so scoring the
-    corpus is a pure projection over the CODES table: no join, no raw
-    vectors touched, one scan + one top-k aggregate. Queries must be a
-    small broadcastable set (the per-query lookup is m·k literals)."""
-    base = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    trained codebooks (k·sub_dim doubles per subspace) and embedded as
+    literal lookup arrays, so scoring the corpus is a pure projection
+    over the CODES table: no join, no raw vectors at scan time, one
+    scan + one top-k aggregate. Pass ``model=(codes_df, codebooks)``
+    from :func:`_pq_fit` to score against a PRE-TRAINED index (the
+    production shape — encode once, query many); omitted, it trains
+    one inline. Queries must be a small broadcastable set (the
+    per-query lookup is m·k literals)."""
+    codes, codebooks = model or _pq_fit(
+        df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
+        iters=iters,
     )
-    codebooks = []  # per subspace: {cell: vector}
-    codes = None
-    for j in range(m):
-        sub = base.select(
-            F.col(id_col),
-            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("sub"),
-        )
-        assigned, cents = _kmeans_fit(
-            sub, id_col=id_col, vec_col="sub", k=k, iters=iters
-        )
-        codebooks.append(dict(cents))
-        cells = assigned.select(
-            F.col("id").alias(id_col), F.col("cell").alias(f"code{j}")
-        )
-        codes = cells if codes is None else codes.join(cells, id_col)
     q_rows = queries.select(
         F.col(q_id_col),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -26,6 +26,8 @@ positive in both engines).
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,10 +36,27 @@ from pyspark.sql import functions as F
 HASH_SPACE = 1 << 60
 
 
+def _threshold(rate: float) -> int:
+    """``floor(rate · 2⁶⁰)`` computed in EXACT decimal arithmetic — a
+    binary-float multiply can land one ulp off the value a SQL engine
+    computes from the decimal literal (0.2·2⁶⁰ differs by 13 in float64),
+    which would make the keep/drop boundary engine-dependent. Matches
+    the oracle's ``CAST(floor(rate * 2^60) AS BIGINT)`` exactly."""
+    return int(Decimal(str(rate)) * HASH_SPACE)
+
+
 def _hash60(col: Column, salt: str) -> Column:
-    """Uniform 60-bit integer from md5(salt|value) — engine-portable."""
+    """Uniform 60-bit integer from md5(salt|value) — engine-portable.
+    NULL ids hash to NULL (``concat`` propagates, matching SQL's
+    ``md5('salt|' || id)``): a NULL-id row is DROPPED by the sample
+    filter and gets NULL shard/sort_key, identically in both engines —
+    never silently collapsed onto one shared hash."""
     return F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(salt), col)), 1, 15), 16, 10
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
     ).cast("long")
 
 
@@ -64,12 +83,12 @@ def deterministic_sample(
         # chained CASE: per-stratum threshold, default 0 = drop
         thr = None
         for stratum, r in sorted(rate.items()):
-            lit = F.lit(int(r * HASH_SPACE)).cast("long")
+            lit = F.lit(_threshold(r)).cast("long")
             cond = F.col(stratify_col) == stratum
             thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
         thr = thr.otherwise(F.lit(0).cast("long"))
     else:
-        thr = F.lit(int(float(rate) * HASH_SPACE)).cast("long")
+        thr = F.lit(_threshold(float(rate))).cast("long")
     return df.where(h < thr)
 
 

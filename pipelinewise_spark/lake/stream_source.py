@@ -16,12 +16,14 @@ Semantics (documented, not hidden):
   rewritten buckets' rows — a bucket-level changelog; MoR delta appends
   and append-only tables emit exactly the batch rows). Downstream
   last-per-key folding collapses re-emits, same as any CDC consumer.
-- EXECUTOR-PARALLEL reads: the reader plans ONE InputPartition PER
-  ADDED FILE (driver touches only manifest JSON — O(commits) small
-  reads); file decode runs in Spark tasks, so a commit that added 200
-  bucket files fans out across the cluster instead of serializing
-  through driver Python. At 100 TB this is the difference between a
-  feed that keeps up and a driver bottleneck.
+- EXECUTOR-PARALLEL reads: the driver plans InputPartitions from
+  manifest JSON only (O(commits) small reads); parquet decode runs in
+  Spark tasks. Consecutive small files PACK into shared partitions up
+  to ``maxBytesPerPartition`` (64 MB default) so partition count scales
+  with data volume, not file count — a commit of 200 tiny bucket files
+  is a handful of tasks, a commit of 200 big files fans out across the
+  cluster. At 100 TB this is the difference between a feed that keeps
+  up and a driver bottleneck.
 - offsets never move backward: a manifest rollback / table re-create
   under a live checkpoint fails loudly instead of re-emitting
   delivered ranges.
@@ -62,9 +64,9 @@ def _load_manifest(path: str, version: int) -> dict:
 
 
 class _LakeTableStreamReader(DataSourceStreamReader):
-    """Partition-planning reader: offsets = manifest versions; one
-    InputPartition per file a commit added; per-file parquet decode in
-    executor tasks (the driver never opens a data file)."""
+    """Partition-planning reader: offsets = manifest versions; added
+    files pack into byte-budgeted InputPartitions; parquet decode runs
+    in executor tasks (the driver never opens a data file)."""
 
     def __init__(self, schema: StructType, options: dict):
         opts = {k.lower(): v for k, v in options.items()}
@@ -145,9 +147,9 @@ class _LakeTableStreamReader(DataSourceStreamReader):
         return [InputPartition(g) for g in groups]
 
     def read(self, partition: InputPartition):
-        # runs in an EXECUTOR task — one immutable parquet file per
-        # task, yielded as ARROW RECORD BATCHES (zero per-row Python:
-        # parquet pages → arrow → Spark's arrow ingestion; the
+        # runs in an EXECUTOR task — a byte-budgeted group of immutable
+        # parquet files, yielded as ARROW RECORD BATCHES (zero per-row
+        # Python: parquet pages → arrow → Spark's arrow ingestion; the
         # tuple-yield path would pickle every row through the worker)
         import pyarrow as pa
         import pyarrow.parquet as pq

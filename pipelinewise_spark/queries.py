@@ -653,9 +653,10 @@ _H60 = "CAST(('0x' || substr(md5('{salt}|' || {col}), 1, 15)) AS BIGINT)"
       FROM documents)
     SELECT doc_id, lang FROM langs
     WHERE {_H60.format(salt='sample', col='doc_id')} <
-          CASE lang WHEN 'en' THEN CAST(0.5 * 1152921504606846976 AS BIGINT)
-                    WHEN 'de' THEN CAST(0.2 * 1152921504606846976 AS BIGINT)
-                    ELSE 0 END
+          CASE lang
+            WHEN 'en' THEN CAST(floor(0.5 * 1152921504606846976) AS BIGINT)
+            WHEN 'de' THEN CAST(floor(0.2 * 1152921504606846976) AS BIGINT)
+            ELSE 0 END
     """,
 )
 def sample_stratified(spark, sf):
@@ -1398,7 +1399,10 @@ def s14_mongo(spark, sf):
     )
 
 
-def _kmeans_assign_sql(cents: str) -> str:
+def _kmeans_assign_sql(cents: str, base: str = "base") -> str:
+    """Nearest-centroid assignment CTE body — the ONE place the oracle's
+    distance formula / rounding / tie-break live (shared by the IVF
+    kmeans and every PQ subspace)."""
     d2 = (
         "round(list_dot_product(b.v, b.v) + list_dot_product(c.v, c.v)"
         " - 2 * list_dot_product(b.v, c.v), 6)"
@@ -1408,7 +1412,7 @@ def _kmeans_assign_sql(cents: str) -> str:
         SELECT b.id, b.v, c.cell,
                row_number() OVER (PARTITION BY b.id
                                   ORDER BY {d2}, c.cell) AS rn
-        FROM base b CROSS JOIN {cents} c) WHERE rn = 1"""
+        FROM {base} b CROSS JOIN {cents} c) WHERE rn = 1"""
 
 
 _KMEANS_SQL = f"""
@@ -1443,22 +1447,10 @@ def ann_kmeans(spark, sf):
 
 def _pq_sub_sql(j: int, sub_dim: int, k: int) -> str:
     """One subspace's deterministic-kmeans CTE chain (suffix ``_{j}``):
-    slice → md5-spread init → assign → mean → assign, identical to
-    _KMEANS_SQL but over ``embedding[lo:hi]``."""
+    slice → md5-spread init → assign → mean → assign; the assignment
+    body is the SHARED :func:`_kmeans_assign_sql` (determinism contract
+    defined once)."""
     lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
-    d2 = (
-        "round(list_dot_product(b.v, b.v) + list_dot_product(c.v, c.v)"
-        " - 2 * list_dot_product(b.v, c.v), 6)"
-    )
-
-    def assign(cents: str) -> str:
-        return f"""
-      SELECT id, v, cell FROM (
-        SELECT b.id, b.v, c.cell,
-               row_number() OVER (PARTITION BY b.id
-                                  ORDER BY {d2}, c.cell) AS rn
-        FROM base_{j} b CROSS JOIN {cents} c) WHERE rn = 1"""
-
     return f"""
     base_{j} AS (
       SELECT vec_id AS id, (embedding::DOUBLE[])[{lo}:{hi}] AS v
@@ -1468,14 +1460,14 @@ def _pq_sub_sql(j: int, sub_dim: int, k: int) -> str:
         SELECT v, row_number() OVER (
           ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
         FROM base_{j}) WHERE rn <= {k}),
-    a0_{j} AS ({assign(f'init_{j}')}),
+    a0_{j} AS ({_kmeans_assign_sql(f'init_{j}', f'base_{j}')}),
     m1_{j} AS (
       SELECT cell, u.idx, round(avg(u.x), 6) AS m
       FROM (SELECT cell, unnest(v) AS x,
                    generate_subscripts(v, 1) AS idx FROM a0_{j}) u(cell, x, idx)
       GROUP BY cell, u.idx),
     c1_{j} AS (SELECT cell, list(m ORDER BY idx) AS v FROM m1_{j} GROUP BY cell),
-    a1_{j} AS ({assign(f'c1_{j}')})"""
+    a1_{j} AS ({_kmeans_assign_sql(f'c1_{j}', f'base_{j}')})"""
 
 
 _PQ_SQL = (

@@ -113,7 +113,9 @@ def main():
     first, second = walls[:half], walls[half:]
     import glob
     mdir = os.path.join(table.path, "_manifests")
-    root_sz = max(os.path.getsize(f) for f in glob.glob(mdir + "/v*.json"))
+    # size of the CURRENT root (latest version), not the historical max
+    # — the metric this soak exists to bound is the live root's size
+    root_sz = os.path.getsize(sorted(glob.glob(mdir + "/v*.json"))[-1])
     summary = {
         "metric": "spj_soak",
         "segmented": segmented,
