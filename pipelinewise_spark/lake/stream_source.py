@@ -128,16 +128,25 @@ class _LakeTableStreamReader(DataSourceStreamReader):
                 f"with a fresh checkpoint"
             )
         # greedy pack in commit order: consecutive small files share a
-        # partition up to maxBytesPerPartition — partition count scales
-        # with DATA VOLUME, not file count (192 tiny bucket files in one
-        # range must not cost 192 Python-worker startups)
+        # partition — partition count scales with DATA VOLUME, not file
+        # count (192 tiny bucket files in one range must not cost 192
+        # Python-worker startups). The byte budget adapts DOWNWARD from
+        # maxBytesPerPartition so a small batch still fans out across
+        # the cluster instead of collapsing into one task: aim for
+        # ~defaultParallelism partitions, floored at 1 MB/partition.
+        files = self._added_files(start["version"], end["version"])
+        total = sum(b for _, b in files)
+        budget = self.max_bytes
+        par = self._default_parallelism()
+        if par > 1 and total > 0:
+            # floor never exceeds an explicitly smaller maxBytesPerPartition
+            floor = min(1 << 20, self.max_bytes)
+            budget = min(self.max_bytes, max(floor, -(-total // par)))
         groups: list[list[str]] = []
         cur: list[str] = []
         cur_bytes = 0
-        for rel, nbytes in self._added_files(
-            start["version"], end["version"]
-        ):
-            if cur and cur_bytes + nbytes > self.max_bytes:
+        for rel, nbytes in files:
+            if cur and cur_bytes + nbytes > budget:
                 groups.append(cur)
                 cur, cur_bytes = [], 0
             cur.append(rel)
@@ -145,6 +154,19 @@ class _LakeTableStreamReader(DataSourceStreamReader):
         if cur:
             groups.append(cur)
         return [InputPartition(g) for g in groups]
+
+    @staticmethod
+    def _default_parallelism() -> int:
+        """Cluster parallelism hint for the packing budget. partitions()
+        runs on the driver, where the active SparkContext is reachable;
+        a conservative 1 (no downscaling) if it is not."""
+        try:
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+            return int(sc.defaultParallelism) if sc is not None else 1
+        except Exception:
+            return 1
 
     def read(self, partition: InputPartition):
         # runs in an EXECUTOR task — a byte-budgeted group of immutable
