@@ -188,6 +188,7 @@ def build_project(
     num_buckets: int = 256,
     soft_delete: bool = False,
     max_concurrency: int = 4,
+    widen: str = "version",
 ) -> dict:
     """Wire a whole tap project:
 
@@ -265,6 +266,14 @@ def build_project(
             pipelines[stream] = CdcPipeline(
                 lt, stream=stream, transform=transform,
                 soft_delete=soft_delete or None,
+                widen=widen,
+                # multi-partition Kafka micro-batches follow per-
+                # partition OFFSETS, not global LSN order — the LSN
+                # prefix filter would drop a lagging partition's frames
+                # as replays, so kafka taps wire it OFF automatically
+                # (exactly-once = checkpoint + batch-id guard, the
+                # reference tap_kafka's own bookmark model)
+                filter_applied_lsn=(cfg.get("type") != "tap-kafka"),
             )
             tables[stream] = lt
             readers[stream] = reader_spec(cfg, src, table)

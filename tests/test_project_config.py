@@ -160,3 +160,36 @@ def test_build_project_validates_keys_and_soft_delete(spark, tmp_path):
 def test_load_tap_yaml_missing_path_is_file_not_found():
     with pytest.raises(FileNotFoundError):
         load_tap_yaml("/no/such/project/tap_mysql.yml")
+
+
+def test_kafka_tap_wires_offset_based_exactly_once(spark, tmp_path):
+    """A tap-kafka project must NOT use the LSN-bookmark prefix filter:
+    multi-partition micro-batches follow per-partition offsets, not
+    global LSN order, and the filter would drop a lagging partition's
+    frames as replays. JDBC taps keep it on (log order IS the
+    contract there)."""
+    kafka_yaml = """
+id: "k"
+type: "tap-kafka"
+db_conn: {bootstrap_servers: "b:9092", topic: "t"}
+target: "lake"
+schemas:
+  - source_schema: "s"
+    tables:
+      - table_name: "conversations"
+        replication_method: "LOG_BASED"
+        key_properties: ["conv_id", "turn_idx"]
+"""
+    proj = build_project(
+        spark, kafka_yaml, lake_root=str(tmp_path / "k"),
+        schema_provider=_provider, num_buckets=2,
+    )
+    pipe = proj["pipeline"].pipelines["s-conversations"]
+    assert pipe.filter_applied_lsn is False
+    proj2 = build_project(
+        spark, TAP_YAML, lake_root=str(tmp_path / "m"),
+        schema_provider=_provider, num_buckets=2, widen="promote",
+    )
+    pipe2 = proj2["pipeline"].pipelines["my_db-conversations"]
+    assert pipe2.filter_applied_lsn is True
+    assert pipe2.widen == "promote"
