@@ -831,6 +831,69 @@ def doc_fp(spark, sf):
 
 
 @q(
+    "corpus_export_pipeline",
+    f"""
+    WITH {_RATIO_SQL},
+    q AS (
+      SELECT doc_id, text,
+             round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+                   + least(ren * 4, 1.0) * 0.4
+                   + (1.0 - least(length(regexp_replace(text, '[^.,!?;:]',
+                                                        '', 'g'))
+                                  / greatest(length(text), 1) * 5, 1.0))
+                     * 0.2,
+                   4) AS quality
+      FROM ratios),
+    keepq AS (SELECT doc_id, text FROM q WHERE quality >= 0.5),
+    fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM keepq),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS keep FROM fp)
+      WHERE doc_id = keep),
+    samp AS (
+      SELECT doc_id FROM surv
+      WHERE {_H60.format(salt='sample', col='doc_id')} <
+            CAST(floor(0.5 * 1152921504606846976) AS BIGINT))
+    SELECT doc_id,
+           CAST({_H60.format(salt='shard', col='doc_id')} % 4 AS INT)
+             AS shard
+    FROM samp
+    """,
+)
+def corpus_export_pipeline(spark, sf):
+    """The WHOLE training-data export pipeline as one hash-gated query:
+    quality filter (≥0.5) → exact-dedup keep-one (min doc id per
+    normalized-text fingerprint) → deterministic 50% sample → stable
+    4-way shard assignment. Every stage is an already-oracled operator;
+    this verifies their COMPOSITION — the corpus a training run would
+    actually consume — end-to-end against DuckDB. All pure expressions
+    + one window: at 100 TB the only shuffle is the fingerprint
+    partition (and the final shard write)."""
+    from pyspark.sql import Window
+
+    from pipelinewise_spark.functions.sampling import (
+        deterministic_sample,
+        shard_assignment,
+    )
+
+    docs = _t(spark, sf, "documents")
+    keepq = docs.select(
+        "doc_id", "text", T.quality_score(F.col("text")).alias("quality")
+    ).where(F.col("quality") >= 0.5)
+    fp = keepq.withColumn("f", T.fingerprint(F.col("text")))
+    surv = (
+        fp.withColumn("keep", F.min("doc_id").over(Window.partitionBy("f")))
+        .where(F.col("doc_id") == F.col("keep"))
+        .select("doc_id")
+    )
+    samp = deterministic_sample(surv, "doc_id", 0.5)
+    return shard_assignment(samp, "doc_id", 4).select("doc_id", "shard")
+
+
+@q(
     "ann_similar_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
