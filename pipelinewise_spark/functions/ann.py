@@ -404,18 +404,33 @@ def ivf_topk(
     label_col: str = "label",
     k: int = 5,
     n_probe: int = 1,
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are partitioned into
     cells (label_col); each query probes its ``n_probe`` nearest cell
     centroids and ranks only vectors in those cells. The candidate join
     is an equi-join on cell id — at 100 TB this prunes the scan to
-    n_probe/n_cells of the corpus before any full dot product."""
-    cents = (
-        label_centroids(corpus, label_col=label_col, vec_col=vec_col)
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))).alias("s"))
-        .select("label", F.transform("s", lambda x: x["centroid_val"]).alias("cv"))
-    )
+    n_probe/n_cells of the corpus before any full dot product.
+
+    Pass ``centroids=[(label, vector), ...]`` (e.g. from a persisted
+    index, :mod:`pipelinewise_spark.functions.ann_index`) to skip the
+    centroid recompute — the encode-once/query-many shape: the inline
+    path shuffles the whole corpus once per call to derive cell means;
+    the pretrained path builds the same k·dim broadcast table from
+    saved literals and touches only the probed cells."""
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in centroids],
+            f"label {'string' if centroids and isinstance(centroids[0][0], str) else 'bigint'}, cv array<double>",
+        )
+    else:
+        cents = (
+            label_centroids(corpus, label_col=label_col, vec_col=vec_col)
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))).alias("s"))
+            .select("label", F.transform("s", lambda x: x["centroid_val"]).alias("cv"))
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("label")

@@ -1,0 +1,210 @@
+"""Round-5 hardening: a LIVE checkpointed change-feed consumer across a
+schema-evolution boundary (VERDICT r4 #4), and persisted ANN indexes —
+encode-once/query-many round-trips for PQ and IVF (VERDICT r4 #5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pipelinewise_spark.cdc.merge import merge_into
+from pipelinewise_spark.evolution.drift import reconcile
+from pipelinewise_spark.functions import ann, ann_index
+from pipelinewise_spark.lake.stream_source import LakeTableStreamSource
+from pipelinewise_spark.lake.table import LakeTable
+
+
+def _drain(spark, path, ckpt, out_dir, schema, starting=None):
+    """One availableNow run into a parquet sink; returns everything the
+    sink has accumulated, read with the CURRENT (possibly evolved)
+    schema — pre-evolution sink files lack added columns (NULL-filled)
+    and carry narrower ints (widened natively on read)."""
+    reader = spark.readStream.format("laketable").option("path", path)
+    if starting is not None:
+        reader = reader.option("startingVersion", starting)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.read.schema(schema).parquet(out_dir)
+
+
+def test_feed_consumer_across_evolution_boundary(spark, tmp_path):
+    """Evolve the table (add-column AND widen-promote) between two runs
+    of the SAME checkpointed consumer: the pre-boundary run sees the
+    narrow schema, the post-boundary resume picks up ONLY the new
+    commits with the wide schema, and a fresh full replay reads the
+    pre-boundary NARROW pages through the arrow cast + NULL-fill path
+    (lake/stream_source.py read())."""
+    spark.dataSource.register(LakeTableStreamSource)
+    narrow = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("score", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), narrow, ["conv_id"], num_buckets=2
+    )
+    b0 = spark.createDataFrame(
+        [(i, "I", f"c{i}", i * 10, f"turn {i}") for i in range(8)],
+        "lsn long, op string, conv_id string, score int, text string",
+    )
+    merge_into(t, b0, batch_id=0)
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    got1 = _drain(spark, t.path, ck, out, t.read().schema, starting=0)
+    assert got1.count() == 8
+    assert dict(got1.dtypes)["score"] == "int"
+
+    # --- evolution boundary: add `note` string, promote score int→long
+    wide = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("score", LongType()),
+            StructField("text", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    actions = reconcile(t, wide, widen="promote")
+    assert sorted(a["action"] for a in actions) == [
+        "add_column",
+        "promote_column",
+    ]
+    b1 = spark.createDataFrame(
+        [
+            (100 + i, "I", f"n{i}", (1 << 33) + i, f"new {i}", f"note {i}")
+            for i in range(5)
+        ],
+        "lsn long, op string, conv_id string, score long, text string, "
+        "note string",
+    )
+    t = t.refresh()
+    merge_into(t, b1, batch_id=1)
+
+    # --- SAME checkpoint resumes across the boundary: only the new
+    # commit's files are read, with the evolved wide schema
+    wide_read = t.read().schema
+    got2 = _drain(spark, t.path, ck, out, wide_read, starting=0)
+    new = got2.join(got1.select("conv_id", "_lsn"), ["conv_id"], "left_anti")
+    assert {r["conv_id"] for r in new.select("conv_id").collect()} == {
+        f"n{i}" for i in range(5)
+    }
+    post = {r["conv_id"]: r for r in new.collect()}
+    assert post["n0"]["score"] == (1 << 33)  # value beyond int32 survives
+    assert post["n3"]["note"] == "note 3"
+    assert dict(got2.dtypes)["score"] == "bigint"
+
+    # --- fresh full replay post-boundary: pre-promotion NARROW pages
+    # (+ missing `note`) read through the cast/NULL-fill path
+    replay = _drain(
+        spark, t.path, str(tmp_path / "ck2"), str(tmp_path / "out2"),
+        wide_read, starting=0,
+    )
+    old = {r["conv_id"]: r for r in replay.where(
+        F.col("conv_id").startswith("c")).collect()}
+    assert len(old) == 8
+    assert old["c3"]["score"] == 30 and old["c3"]["note"] is None
+    # folded latest state equals the live table (text equality per key);
+    # CoW bucket re-emits are byte-identical copies at the same _lsn, so
+    # the fold is max-LSN + distinct
+    w = replay.groupBy("conv_id").agg(F.max("_lsn").alias("m"))
+    latest = (
+        replay.join(w, ["conv_id"])
+        .where(F.col("_lsn") == F.col("m"))
+        .dropDuplicates(["conv_id"])
+    )
+    live = t.read()
+    cols = ["conv_id", "score", "text", "note"]
+    lat = {tuple(r) for r in latest.select(*cols).collect()}
+    liv = {tuple(r) for r in live.select(*cols).collect()}
+    assert lat == liv and len(lat) == 13
+
+
+def _emb(spark, n=64, dim=32, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_index_roundtrip_equals_inline(spark, tmp_path):
+    """encode-once/query-many: save+load of a trained PQ index gives
+    BIT-IDENTICAL ADC top-k to inline training."""
+    emb = _emb(spark, n=80, dim=32).persist()
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    params = dict(m=4, sub_dim=8, k=4, iters=2)
+    inline = ann.pq_adc_topk(
+        emb, queries, top_k=5, **params
+    ).collect()
+
+    codes, codebooks = ann_index.fit_pq_index(emb, **params)
+    idx = str(tmp_path / "pq")
+    ann_index.save_pq_index(idx, codes, codebooks, params=params)
+    model = ann_index.load_pq_index(spark, idx)
+    # loaded codebooks round-trip exactly (int cells, float centroids)
+    assert model[1] == codebooks
+    loaded = ann.pq_adc_topk(
+        emb, queries, top_k=5, model=model, **params
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, inline))
+    emb.unpersist()
+
+
+def test_ivf_index_roundtrip_equals_inline(spark, tmp_path):
+    """Saved IVF centroids + cell assignments reproduce the inline
+    ivf_topk result without recomputing cell means."""
+    emb = _emb(spark, n=80, dim=16, seed=11).persist()
+    queries = emb.where(F.col("vec_id") < 4)
+
+    cells, centroids = ann_index.fit_ivf_index(emb, k=4, iters=2)
+    labeled = emb.join(cells, "vec_id").withColumnRenamed("cell", "label")
+    inline = ann.ivf_topk(labeled, queries, k=3, n_probe=2).collect()
+
+    idx = str(tmp_path / "ivf")
+    ann_index.save_ivf_index(idx, cells, centroids, params={"k": 4})
+    l_cells, l_cents = ann_index.load_ivf_index(spark, idx)
+    assert l_cents == centroids
+    labeled2 = emb.join(l_cells, "vec_id").withColumnRenamed("cell", "label")
+    loaded = ann.ivf_topk(
+        labeled2, queries, k=3, n_probe=2, centroids=l_cents
+    ).collect()
+    assert sorted(map(tuple, loaded)) == sorted(map(tuple, inline))
+    # and the pretrained path really skipped the centroid shuffle: its
+    # plan contains no aggregate over the corpus for cell means
+    plan = ann.ivf_topk(
+        labeled2, queries, k=3, n_probe=2, centroids=l_cents
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "centroid_val" not in plan
+    emb.unpersist()
+
+
+def test_ivf_pretrained_rejects_wrong_kind(spark, tmp_path):
+    emb = _emb(spark, n=20, dim=8)
+    codes, codebooks = ann_index.fit_pq_index(
+        emb, m=2, sub_dim=4, k=2, iters=1
+    )
+    idx = str(tmp_path / "pq2")
+    ann_index.save_pq_index(idx, codes, codebooks)
+    with pytest.raises(ValueError, match="kind"):
+        ann_index.load_ivf_index(spark, idx)
