@@ -612,3 +612,99 @@ def pq_adc_topk(
         .where(F.col("rank") <= top_k)
         .select(q_id_col, id_col, "d2", "rank")
     )
+
+
+def pq_adc_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    top_k: int = 10,
+    model: tuple | None = None,
+) -> DataFrame:
+    """ADC top-k for LARGE query batches. Same asymmetric-distance math
+    as :func:`pq_adc_topk`, different physical plan: instead of per-query
+    literal lookup arrays (an expression tree that grows with |Q| — fine
+    for a handful of queries, a 10k-branch tree for a 10k batch), the
+    per-(query, subspace, cell) partial distances become a BROADCAST
+    LUT DataFrame computed in Spark (queries never collect to the
+    driver):
+
+    - centroids → a tiny literal table (m·k rows);
+    - queries explode to (q_id, j, q_sub) and broadcast-join centroids →
+      LUT (q_id, j, cell, d2), |Q|·m·k rows, broadcast;
+    - the codes table explodes to (id, j, code) and broadcast-joins the
+      LUT; one partial-agg sum per (q_id, id) + per-query top-k window.
+
+    Scale: the joins are broadcast (no shuffle of the codes table); the
+    only shuffles are the (q_id, id) aggregation and the top-k window —
+    both over scored candidates, never raw vectors. Per-subspace partial
+    distances are rounded to 6 decimals (identical to the literal path),
+    so both variants return the same rows."""
+    codes, codebooks = model or _pq_fit(
+        df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
+        iters=iters,
+    )
+    spark = codes.sparkSession
+    cent_rows = [
+        (j, int(c), [float(x) for x in v])
+        for j, cb in enumerate(codebooks)
+        for c, v in sorted(cb.items())
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "j int, cell int, cv array<double>"
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    q_subs = queries.select(
+        F.col(q_id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(qv, j * sub_dim + 1, sub_dim).alias("qs"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select(q_id_col, "s.j", "s.qs")
+    lut = q_subs.join(F.broadcast(cents), "j").select(
+        F.col(q_id_col),
+        "j",
+        "cell",
+        F.round(
+            F.aggregate(
+                F.zip_with("qs", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    codes_long = codes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"code{j}").alias("cell"))
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select(id_col, "s.j", "s.cell")
+    scored = (
+        codes_long.join(F.broadcast(lut), ["j", "cell"])
+        .groupBy(q_id_col, id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("d2"))
+    )
+    w_rank = F.row_number().over(
+        Window.partitionBy(q_id_col).orderBy(F.col("d2"), F.col(id_col))
+    )
+    return (
+        scored.withColumn("rank", w_rank)
+        .where(F.col("rank") <= top_k)
+        .select(q_id_col, id_col, "d2", "rank")
+    )

@@ -208,3 +208,24 @@ def test_ivf_pretrained_rejects_wrong_kind(spark, tmp_path):
     ann_index.save_pq_index(idx, codes, codebooks)
     with pytest.raises(ValueError, match="kind"):
         ann_index.load_ivf_index(spark, idx)
+
+
+def test_pq_adc_batch_equals_literal(spark, tmp_path):
+    """The broadcast-LUT-join ADC variant (large query batches; the
+    literal path builds an |Q|-branch expression tree) returns the SAME
+    rows as the literal path on the same pre-trained model, and its
+    codes-side join is broadcast (no shuffle of the codes table)."""
+    emb = _emb(spark, n=100, dim=32, seed=3).persist()
+    queries = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    params = dict(m=4, sub_dim=8, k=4, iters=2)
+    model = ann_index.fit_pq_index(emb, **params)
+    lit_rows = ann.pq_adc_topk(
+        emb, queries, top_k=5, model=model, **params
+    ).collect()
+    bat = ann.pq_adc_topk_batch(emb, queries, top_k=5, model=model, **params)
+    assert sorted(map(tuple, bat.collect())) == sorted(map(tuple, lit_rows))
+    plan = bat._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    emb.unpersist()
