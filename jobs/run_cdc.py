@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("pipelinewise-spark-cdc").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # pre-spawn the Python worker pool: a bounded availableNow run would
+    # otherwise pay worker spawn + arrow imports inside its first
+    # micro-batch (~7 s at 32 cores; BENCH.md round 5)
+    from pipelinewise_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
 
     if args.project:
         # YAML-project mode: the reference's tap file wires everything;

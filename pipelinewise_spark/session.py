@@ -64,3 +64,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Pre-spawn the Python worker pool before latency-sensitive work.
+
+    The first Python-executed stage of a session (Python Data Source
+    reads, Arrow UDFs) pays worker-process spawn + pyarrow/pandas import
+    once per core — measured ~7 s at local[32] regardless of data size
+    (BENCH.md round 5: a 100-row change-feed drain cold = 6.99 s, the
+    600k-row drain warm = 2.3 s). A long-running stream amortizes this
+    to zero, but a bounded availableNow run eats it inside its first
+    micro-batch; calling this first moves the one-off outside the
+    measured/latency path. One tiny Arrow batch per core; workers are
+    reused afterward (spark.python.worker.reuse defaults true)."""
+    import pyarrow  # noqa: F401  (fail here, loudly, not in executors)
+
+    sc = spark.sparkContext
+    n = max(int(sc.defaultParallelism), 1)
+
+    def _touch(it):
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        yield from it
+
+    spark.range(n, numPartitions=n).mapInArrow(
+        _touch, "id long"
+    ).write.format("noop").mode("overwrite").save()

@@ -229,3 +229,12 @@ def test_pq_adc_batch_equals_literal(spark, tmp_path):
     plan = bat._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     emb.unpersist()
+
+
+def test_warm_python_workers(spark):
+    """Smoke: the pre-warm utility runs one tiny Arrow batch per core
+    and returns; the timing evidence (7.0 s cold premium removed from a
+    bounded run's first micro-batch) lives in BENCH.md round 5."""
+    from pipelinewise_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
