@@ -492,6 +492,35 @@ def _pq_fit(
             sub, id_col=id_col, vec_col="sub", k=k, iters=iters
         )
         codebooks.append(dict(cents))
+    return (
+        pq_encode(
+            df, codebooks, id_col=id_col, vec_col=vec_col, sub_dim=sub_dim
+        ),
+        codebooks,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[dict],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Encode vectors against ALREADY-TRAINED PQ codebooks — one
+    projection, no joins, no training: per subspace the codebook
+    centroids are broadcast-literal argmin candidates over the vector
+    slice (rounded d2, tie on cell id — the exact expression
+    :func:`_pq_fit`'s own encoding uses, so incremental encodes are
+    bit-compatible with the original fit). This is the INCREMENTAL
+    MAINTENANCE path: when CDC lands new corpus rows, encode only those
+    rows with the saved codebooks and append to the codes table —
+    retraining (and re-encoding 10⁹ vectors) only happens when drift
+    warrants it. Columns: (id_col, code0..code{m-1})."""
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
     exprs = []
     for j, cb in enumerate(codebooks):
         sv = F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
@@ -503,7 +532,7 @@ def _pq_fit(
             d2 = F.round(sv_dot + F.lit(cc) - 2.0 * dot(sv, arr), 6)
             opts.append(F.struct(d2.alias("d"), F.lit(cell_id).alias("c")))
         exprs.append(F.array_min(F.array(*opts))["c"].alias(f"code{j}"))
-    return base.select(F.col(id_col), *exprs), codebooks
+    return base.select(F.col(id_col), *exprs)
 
 
 def pq_codes(

@@ -104,6 +104,33 @@ def load_pq_index(
     return codes, codebooks
 
 
+def append_pq_codes(
+    path: str,
+    new_df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index maintenance: encode ``new_df`` (rows newly
+    landed in the corpus, e.g. a CDC batch or a change-feed micro-batch)
+    against the index's SAVED codebooks and append to the codes table.
+    No training, no touch of existing codes — one projection over the
+    new rows (sub_dim is recovered from the stored centroid length).
+    At 10⁹ vectors this is the difference between re-encoding the world
+    per corpus update and encoding just the delta; retrain+rebuild only
+    when codebook drift warrants it."""
+    doc = _load_doc(path, "pq")
+    codebooks = [
+        {int(c): [float(x) for x in v] for c, v in cb.items()}
+        for cb in doc["codebooks"]
+    ]
+    sub_dim = len(next(iter(codebooks[0].values())))
+    codes = ann.pq_encode(
+        new_df, codebooks, id_col=doc["id_col"], vec_col=vec_col,
+        sub_dim=sub_dim,
+    )
+    codes.write.mode("append").parquet(os.path.join(path, _CODES_DIR))
+
+
 def fit_ivf_index(
     df: DataFrame,
     *,

@@ -238,3 +238,79 @@ def test_warm_python_workers(spark):
     from pipelinewise_spark.session import warm_python_workers
 
     warm_python_workers(spark)
+
+
+def test_pq_incremental_append_via_change_feed(spark, tmp_path):
+    """Composed CDC × ANN story: an embeddings LakeTable is maintained
+    by CDC merges; the persisted PQ index stays current by encoding
+    ONLY the change-feed delta with the saved codebooks (no retrain, no
+    re-encode of existing rows). ADC over the incrementally-maintained
+    codes table equals ADC over a full re-encode with the same
+    codebooks."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+    spark.dataSource.register(LakeTableStreamSource)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "corpus"), schema, ["vec_id"], num_buckets=2
+    )
+
+    def as_events(df, lsn0):
+        return df.select(
+            (F.col("vec_id") + lsn0).alias("lsn"),
+            F.lit("I").alias("op"),
+            "vec_id",
+            "embedding",
+        )
+
+    emb0 = _emb(spark, n=60, dim=16, seed=5)
+    merge_into(t, as_events(emb0, 0), batch_id=0)
+    v0 = t.refresh().version
+
+    idx = str(tmp_path / "pq")
+    params = dict(m=2, sub_dim=8, k=4, iters=2)
+    codes, cbs = ann_index.fit_pq_index(
+        t.read().select("vec_id", "embedding"), **params
+    )
+    ann_index.save_pq_index(idx, codes, cbs, params=params)
+
+    # new vectors land via CDC (ids 1000+); the change feed from v0
+    # carries them (plus CoW bucket re-emits of existing rows)
+    emb1 = _emb(spark, n=15, dim=16, seed=9).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    merge_into(t, as_events(emb1, 5000), batch_id=1)
+
+    feed = _drain(
+        spark, t.path, str(tmp_path / "ck"), str(tmp_path / "out"),
+        t.read().schema, starting=v0,
+    )
+    known, _ = ann_index.load_pq_index(spark, idx)
+    delta = (
+        feed.select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .join(known.select("vec_id"), "vec_id", "left_anti")
+    )
+    assert delta.count() == 15  # re-emitted old rows folded out
+    ann_index.append_pq_codes(idx, delta)
+
+    model_inc = ann_index.load_pq_index(spark, idx)
+    assert model_inc[0].count() == 75
+    full = ann.pq_encode(
+        t.read().select("vec_id", "embedding"), cbs, sub_dim=8
+    )
+    queries = t.read().where(F.col("vec_id").isin(3, 1002)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = ann.pq_adc_topk(
+        t.read(), queries, top_k=5, model=model_inc, **params
+    ).collect()
+    want = ann.pq_adc_topk(
+        t.read(), queries, top_k=5, model=(full, cbs), **params
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
