@@ -10,13 +10,17 @@ two artifacts:
   centroids + the training params), k·dim doubles total, embedded as
   broadcast literals at query time;
 - ``codes/`` — the corpus-sized encoded table (PQ code words / IVF cell
-  assignments) as parquet, partition-friendly and re-usable across
-  query jobs.
+  assignments), stored as a KEYED LakeTable (key = the vector id):
+  every save/increment is an atomic manifest commit (a crashed
+  maintenance job leaves the previous snapshot readable, never partial
+  files), and increments are CoW UPSERTS — a vector whose embedding
+  CHANGED gets its code REPLACED, where a plain parquet append would
+  leave both codes in the index.
 
 Layout::
 
     <path>/index.json
-    <path>/codes/part-*.parquet
+    <path>/codes/            (LakeTable: _manifests/ + data/)
 
 Loaded PQ indexes plug straight into
 :func:`pipelinewise_spark.functions.ann.pq_adc_topk` via ``model=``;
@@ -24,6 +28,10 @@ loaded IVF indexes into :func:`...ann.ivf_topk` via ``centroids=`` plus
 a join of the saved cell assignments onto the corpus. Round-trip
 equality with inline training is asserted in
 ``tests/test_round5_features.py``.
+
+Maintenance jobs are assumed single-writer per index (the usual shape:
+one scheduled encode job per corpus table); concurrent increments are
+serialized by the LakeTable's optimistic commit.
 
 Reference parity: PipelineWise has no ANN surface; this is part of the
 training-data-pipeline extension (SURVEY.md §2, LLM-data ops).
@@ -35,11 +43,57 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pipelinewise_spark.functions import ann
 
 _INDEX_JSON = "index.json"
 _CODES_DIR = "codes"
+
+
+def _codes_path(path: str) -> str:
+    return os.path.join(path, _CODES_DIR)
+
+
+def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int):
+    """(Re)materialize the encoded table as a LakeTable keyed on the
+    vector id — atomic snapshot swap on re-save."""
+    from pipelinewise_spark.lake.table import MANIFEST_DIR, LakeTable
+
+    cp = _codes_path(path)
+    if os.path.isdir(os.path.join(cp, MANIFEST_DIR)):
+        t = LakeTable(df.sparkSession, cp)
+    else:
+        t = LakeTable.create(
+            df.sparkSession, cp, df.schema, [id_col],
+            num_buckets=num_buckets,
+        )
+    t.overwrite(df)
+
+
+def _upsert_codes(path: str, df: DataFrame, id_col: str):
+    """CoW-upsert encoded rows: new ids insert, changed ids replace.
+    The synthetic LSN is the target's next manifest version — strictly
+    increasing across increments, constant within one (keys are unique
+    per batch, so in-batch ordering is moot)."""
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import LakeTable
+
+    t = LakeTable(df.sparkSession, _codes_path(path))
+    ver = int(t.version)
+    src = df.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
+        "op", F.lit("I")
+    )
+    merge_into(
+        t, src, batch_id=f"index-incr-v{ver + 1}", stream="index",
+        filter_applied_lsn=False,
+    )
+
+
+def _read_codes(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    from pipelinewise_spark.lake.table import LakeTable
+
+    return LakeTable(spark, _codes_path(path)).read().select(*cols)
 
 
 def fit_pq_index(
@@ -67,14 +121,16 @@ def save_pq_index(
     codebooks: list[dict],
     *,
     id_col: str = "vec_id",
+    num_buckets: int = 16,
     params: dict | None = None,
 ) -> None:
     """Persist a trained PQ index: codebooks (m dicts of cell→centroid,
-    a few KB) to ``index.json``, the encoded corpus to ``codes/``
-    parquet. The codes write is the only distributed job — one scan of
-    the already-encoded DataFrame, no shuffle."""
+    a few KB) to ``index.json``, the encoded corpus to the ``codes/``
+    LakeTable (atomic snapshot swap on re-save). The codes write is the
+    only distributed job — one scan of the already-encoded DataFrame
+    plus the keyed bucket write."""
     os.makedirs(path, exist_ok=True)
-    codes.write.mode("overwrite").parquet(os.path.join(path, _CODES_DIR))
+    _save_codes(path, codes, id_col, num_buckets)
     doc = {
         "kind": "pq",
         "id_col": id_col,
@@ -100,8 +156,8 @@ def load_pq_index(
         {int(c): [float(x) for x in v] for c, v in cb.items()}
         for cb in doc["codebooks"]
     ]
-    codes = spark.read.parquet(os.path.join(path, _CODES_DIR))
-    return codes, codebooks
+    cols = [doc["id_col"]] + [f"code{j}" for j in range(len(codebooks))]
+    return _read_codes(spark, path, cols), codebooks
 
 
 def append_pq_codes(
@@ -111,10 +167,12 @@ def append_pq_codes(
     vec_col: str = "embedding",
 ) -> None:
     """INCREMENTAL index maintenance: encode ``new_df`` (rows newly
-    landed in the corpus, e.g. a CDC batch or a change-feed micro-batch)
-    against the index's SAVED codebooks and append to the codes table.
-    No training, no touch of existing codes — one projection over the
-    new rows (sub_dim is recovered from the stored centroid length).
+    landed or changed in the corpus, e.g. a CDC batch or a change-feed
+    micro-batch) against the index's SAVED codebooks and UPSERT into
+    the codes LakeTable — new ids insert, changed ids replace their old
+    code (a bucket-pruned CoW merge touching only affected buckets).
+    No training, no re-encode of unchanged rows — one projection over
+    the delta (sub_dim is recovered from the stored centroid length).
     At 10⁹ vectors this is the difference between re-encoding the world
     per corpus update and encoding just the delta; retrain+rebuild only
     when codebook drift warrants it."""
@@ -128,7 +186,7 @@ def append_pq_codes(
         new_df, codebooks, id_col=doc["id_col"], vec_col=vec_col,
         sub_dim=sub_dim,
     )
-    codes.write.mode("append").parquet(os.path.join(path, _CODES_DIR))
+    _upsert_codes(path, codes, doc["id_col"])
 
 
 def fit_ivf_index(
@@ -178,12 +236,14 @@ def save_ivf_index(
     centroids: list[tuple[int, list[float]]],
     *,
     id_col: str = "vec_id",
+    num_buckets: int = 16,
     params: dict | None = None,
 ) -> None:
     """Persist an IVF index: centroids (k·dim doubles) to
-    ``index.json``, cell assignments to ``codes/`` parquet."""
+    ``index.json``, cell assignments to the ``codes/`` LakeTable
+    (atomic snapshot swap on re-save, keyed upserts on increment)."""
     os.makedirs(path, exist_ok=True)
-    cells.write.mode("overwrite").parquet(os.path.join(path, _CODES_DIR))
+    _save_codes(path, cells, id_col, num_buckets)
     doc = {
         "kind": "ivf",
         "id_col": id_col,
@@ -208,8 +268,43 @@ def load_ivf_index(
     centroids = [
         (int(c), [float(x) for x in v]) for c, v in doc["centroids"]
     ]
-    cells = spark.read.parquet(os.path.join(path, _CODES_DIR))
+    cells = _read_codes(spark, path, [doc["id_col"], "cell"])
     return cells, centroids
+
+
+def append_ivf_cells(
+    path: str,
+    new_df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL IVF maintenance: assign new/changed corpus vectors
+    to their nearest SAVED centroid (broadcast-literal argmin, the same
+    rounded-d2/tie-on-cell expression shape the trainer uses) and
+    upsert into the cells LakeTable. The coarse quantizer is not
+    retrained; the saved centroids are the post-fit cell means, so
+    increments land in the cell a probe against those means would
+    search — cells are a pruning partition, and a periodic re-fit
+    absorbs long-term drift."""
+    doc = _load_doc(path, "ivf")
+    id_col = doc["id_col"]
+    centroids = [
+        (int(c), [float(x) for x in v]) for c, v in doc["centroids"]
+    ]
+    base = new_df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    v_dot = ann.dot(F.col("v"), F.col("v"))
+    opts = []
+    for cell_id, cv in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        cc = float(sum(x * x for x in cv))
+        d2 = F.round(v_dot + F.lit(cc) - 2.0 * ann.dot(F.col("v"), arr), 6)
+        opts.append(F.struct(d2.alias("d"), F.lit(cell_id).alias("c")))
+    assigned = base.select(
+        F.col(id_col), F.array_min(F.array(*opts))["c"].alias("cell")
+    )
+    _upsert_codes(path, assigned, id_col)
 
 
 def _load_doc(path: str, kind: str) -> dict:

@@ -314,3 +314,68 @@ def test_pq_incremental_append_via_change_feed(spark, tmp_path):
         t.read(), queries, top_k=5, model=(full, cbs), **params
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_pq_index_upsert_replaces_changed_vector(spark, tmp_path):
+    """The codes store is a keyed LakeTable: an UPDATED embedding gets
+    its code REPLACED on increment (a plain parquet append would leave
+    both codes); unchanged rows keep their files (bucket-pruned CoW)."""
+    emb = _emb(spark, n=40, dim=16, seed=21)
+    params = dict(m=2, sub_dim=8, k=4, iters=2)
+    codes, cbs = ann_index.fit_pq_index(emb, **params)
+    idx = str(tmp_path / "pq")
+    ann_index.save_pq_index(idx, codes, cbs, params=params)
+
+    # vector 7 changes: shift it onto vector 30's position so its code
+    # provably moves to 30's code word
+    target = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    changed = spark.createDataFrame(
+        [(7, target[30])], "vec_id long, embedding array<double>"
+    )
+    ann_index.append_pq_codes(idx, changed)
+
+    loaded, _ = ann_index.load_pq_index(spark, idx)
+    assert loaded.count() == 40  # replaced, not duplicated
+    rows = {r["vec_id"]: (r["code0"], r["code1"]) for r in loaded.collect()}
+    assert rows[7] == rows[30]
+
+
+def test_ivf_incremental_assign(spark, tmp_path):
+    """append_ivf_cells assigns new vectors to their nearest saved
+    centroid and upserts; an updated vector is reassigned."""
+    emb = _emb(spark, n=50, dim=16, seed=31)
+    cells, centroids = ann_index.fit_ivf_index(emb, k=4, iters=2)
+    idx = str(tmp_path / "ivf")
+    ann_index.save_ivf_index(idx, cells, centroids)
+
+    # 10 new vectors land
+    new = _emb(spark, n=10, dim=16, seed=99).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    ann_index.append_ivf_cells(idx, new)
+    l_cells, l_cents = ann_index.load_ivf_index(spark, idx)
+    assert l_cells.count() == 60
+    # each new vector sits in its argmin cell vs the saved centroids
+    import math
+
+    cent = dict(l_cents)
+    got = {r["vec_id"]: r["cell"] for r in l_cells.where(
+        F.col("vec_id") >= 1000).collect()}
+    for r in new.collect():
+        v = r["embedding"]
+        best = min(
+            sorted(cent),
+            key=lambda c: (
+                round(sum((a - b) ** 2 for a, b in zip(v, cent[c])), 6), c),
+        )
+        assert got[r["vec_id"]] == best
+    # move an existing vector exactly onto a centroid: reassignment
+    c0 = min(sorted(cent))
+    moved = spark.createDataFrame(
+        [(3, [float(x) for x in cent[c0]])],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_ivf_cells(idx, moved)
+    l2, _ = ann_index.load_ivf_index(spark, idx)
+    assert l2.count() == 60
+    assert l2.where(F.col("vec_id") == 3).collect()[0]["cell"] == c0
