@@ -372,7 +372,7 @@ def generate_events(spark, path: str) -> None:
     ev.write.mode("overwrite").parquet(path)
 
 
-def query_benches(spark) -> dict:
+def query_benches(spark) -> "Rows":
     """Representative operator benches over the driver's sf tables.
 
     The two LSH operators run with PRODUCTION-grade selectivity here

@@ -565,6 +565,31 @@ def pq_codes(
     return codes
 
 
+def _round6(x: float) -> float:
+    """Round to 6 decimals with the SAME semantics as Spark's
+    ``F.round`` (BigDecimal of the double's shortest decimal repr,
+    HALF_UP). Python's built-in ``round()`` is half-even on the binary
+    value and diverges on exact half boundaries (round(5e-7, 6) = 0.0
+    vs Spark's 1e-6) — driver-side LUTs must match the engine-side
+    rounding or the two ADC variants disagree on boundary values."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _model_geometry(codebooks: list[dict]) -> tuple[int, int]:
+    """(m, sub_dim) as recorded IN the trained codebooks — callers of a
+    pre-trained model must not be trusted to repeat the training
+    params (a silent mismatch slices queries wrong and returns
+    garbage)."""
+    return len(codebooks), len(next(iter(codebooks[0].values())))
+
+
 def pq_adc_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -587,13 +612,19 @@ def pq_adc_topk(
     over the CODES table: no join, no raw vectors at scan time, one
     scan + one top-k aggregate. Pass ``model=(codes_df, codebooks)``
     from :func:`_pq_fit` to score against a PRE-TRAINED index (the
-    production shape — encode once, query many); omitted, it trains
-    one inline. Queries must be a small broadcastable set (the
-    per-query lookup is m·k literals)."""
-    codes, codebooks = model or _pq_fit(
-        df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
-        iters=iters,
-    )
+    production shape — encode once, query many); its geometry
+    (m, sub_dim) is then DERIVED from the codebooks, so the keyword
+    params cannot silently disagree with how the index was trained.
+    Omitted, it trains one inline. Queries must be a small
+    broadcastable set (the per-query lookup is m·k literals)."""
+    if model is not None:
+        codes, codebooks = model
+        m, sub_dim = _model_geometry(codebooks)
+    else:
+        codes, codebooks = _pq_fit(
+            df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
+            iters=iters,
+        )
     q_rows = queries.select(
         F.col(q_id_col),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -616,7 +647,7 @@ def pq_adc_topk(
                     if cv is not None
                     else float("inf")
                 )
-                lut.append(round(d2, 6))
+                lut.append(_round6(d2))
             term = F.element_at(
                 F.array(*[F.lit(x) for x in lut]), F.col(f"code{j}") + 1
             )
@@ -674,12 +705,21 @@ def pq_adc_topk_batch(
     Scale: the joins are broadcast (no shuffle of the codes table); the
     only shuffles are the (q_id, id) aggregation and the top-k window —
     both over scored candidates, never raw vectors. Per-subspace partial
-    distances are rounded to 6 decimals (identical to the literal path),
-    so both variants return the same rows."""
-    codes, codebooks = model or _pq_fit(
-        df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
-        iters=iters,
-    )
+    distances go through the same engine-side ``F.round(..., 6)`` as the
+    literal path's driver LUT (which uses HALF_UP :func:`_round6` for
+    exactly this reason), so both variants return the same rows — up to
+    float summation order of the m rounded terms, which only matters if
+    the exact total lands within one double ulp of a rounding boundary.
+    Geometry (m, sub_dim) is derived from a passed ``model``'s
+    codebooks, never trusted from the keywords."""
+    if model is not None:
+        codes, codebooks = model
+        m, sub_dim = _model_geometry(codebooks)
+    else:
+        codes, codebooks = _pq_fit(
+            df, id_col=id_col, vec_col=vec_col, m=m, sub_dim=sub_dim, k=k,
+            iters=iters,
+        )
     spark = codes.sparkSession
     cent_rows = [
         (j, int(c), [float(x) for x in v])

@@ -57,37 +57,70 @@ def _codes_path(path: str) -> str:
 
 def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int):
     """(Re)materialize the encoded table as a LakeTable keyed on the
-    vector id — atomic snapshot swap on re-save."""
-    from pipelinewise_spark.lake.table import MANIFEST_DIR, LakeTable
+    vector id — atomic snapshot swap on re-save. A re-save whose
+    GEOMETRY changed (different code columns after a retrain with new
+    ``m``, or a different bucket count) recreates the table: reusing
+    the old manifest would silently project the new columns away
+    (write_bucket_files keeps only the manifest's logical columns)."""
+    import shutil
+
+    from pipelinewise_spark.lake.table import (
+        MANIFEST_DIR, METADATA_COLS, LakeTable,
+    )
 
     cp = _codes_path(path)
     if os.path.isdir(os.path.join(cp, MANIFEST_DIR)):
         t = LakeTable(df.sparkSession, cp)
-    else:
-        t = LakeTable.create(
-            df.sparkSession, cp, df.schema, [id_col],
-            num_buckets=num_buckets,
-        )
-    t.overwrite(df)
+        payload = [
+            f["logical"]
+            for f in t.manifest["fields"]
+            if f["logical"] not in METADATA_COLS
+        ]
+        if set(payload) != set(df.columns) or t.num_buckets != num_buckets:
+            shutil.rmtree(cp)
+            t = None
+        else:
+            t.overwrite(df)
+            return
+    LakeTable.create(
+        df.sparkSession, cp, df.schema, [id_col], num_buckets=num_buckets
+    ).overwrite(df)
 
 
 def _upsert_codes(path: str, df: DataFrame, id_col: str):
     """CoW-upsert encoded rows: new ids insert, changed ids replace.
+
+    The delta must carry ONE row per id — a change-feed micro-batch
+    routinely holds several versions of the same vector (two updates in
+    a window, CoW bucket re-emits), and only the CALLER knows which is
+    latest (it has the feed's ``_lsn``); folding here would pick one
+    arbitrarily and could persist a stale code, so duplicates are
+    REJECTED loudly instead.
+
     The synthetic LSN is the target's next manifest version — strictly
-    increasing across increments, constant within one (keys are unique
-    per batch, so in-batch ordering is moot)."""
+    increasing across increments (each commit bumps the version), so
+    the standard applied-LSN bookmark gives crash-retry idempotence
+    without the bounded batch-id window (an index sees unbounded
+    increments; exhausting the 1024-entry batch-id ring would brick
+    maintenance permanently)."""
     from pipelinewise_spark.cdc.merge import merge_into
     from pipelinewise_spark.lake.table import LakeTable
 
+    total, distinct = df.agg(
+        F.count(id_col), F.count_distinct(F.col(id_col))
+    ).first()
+    if total != distinct:
+        raise ValueError(
+            f"index increment carries {total - distinct} duplicate "
+            f"{id_col} row(s); fold the delta to one row per id first "
+            f"(last-per-key by the feed's _lsn)"
+        )
     t = LakeTable(df.sparkSession, _codes_path(path))
     ver = int(t.version)
     src = df.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
         "op", F.lit("I")
     )
-    merge_into(
-        t, src, batch_id=f"index-incr-v{ver + 1}", stream="index",
-        filter_applied_lsn=False,
-    )
+    merge_into(t, src, stream="index")
 
 
 def _read_codes(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
@@ -204,8 +237,6 @@ def fit_ivf_index(
     :func:`ann.label_centroids` computes inline over the assigned
     corpus) — so ``ivf_topk(..., centroids=saved)`` is bit-equal to the
     inline path."""
-    from pyspark.sql import functions as F
-
     assigned, _ = ann._kmeans_fit(
         df, id_col=id_col, vec_col=vec_col, k=k, iters=iters
     )

@@ -379,3 +379,55 @@ def test_ivf_incremental_assign(spark, tmp_path):
     l2, _ = ann_index.load_ivf_index(spark, idx)
     assert l2.count() == 60
     assert l2.where(F.col("vec_id") == 3).collect()[0]["cell"] == c0
+
+
+def test_index_guards_and_geometry(spark, tmp_path):
+    """Review fixes: (a) a pre-trained model's geometry is DERIVED from
+    its codebooks, so wrong keyword params cannot poison scoring; (b) a
+    duplicate-id delta is rejected loudly; (c) re-saving a retrained
+    index with different geometry recreates the codes table instead of
+    silently dropping columns."""
+    emb = _emb(spark, n=40, dim=16, seed=41)
+    idx = str(tmp_path / "pq")
+    codes, cbs = ann_index.fit_pq_index(emb, m=2, sub_dim=8, k=4, iters=2)
+    ann_index.save_pq_index(idx, codes, cbs)
+    model = ann_index.load_pq_index(spark, idx)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # (a) defaults say m=4/sub_dim=16; the model says m=2/sub_dim=8 —
+    # both calls must return the model's (correct) answer
+    right = ann.pq_adc_topk(
+        emb, qs, m=2, sub_dim=8, k=4, top_k=5, model=model
+    ).collect()
+    derived = ann.pq_adc_topk(emb, qs, top_k=5, model=model).collect()
+    derived_b = ann.pq_adc_topk_batch(emb, qs, top_k=5, model=model).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, right))
+    assert sorted(map(tuple, derived_b)) == sorted(map(tuple, right))
+
+    # (b) duplicate ids in the delta → loud error, not a stale code
+    dup = emb.where(F.col("vec_id").isin(5)).unionAll(
+        emb.where(F.col("vec_id").isin(5))
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_index.append_pq_codes(idx, dup)
+
+    # (c) retrain with m=4 and re-save to the SAME path: the codes
+    # table is recreated with 4 code columns and loads cleanly
+    codes4, cbs4 = ann_index.fit_pq_index(emb, m=4, sub_dim=4, k=4, iters=2)
+    ann_index.save_pq_index(idx, codes4, cbs4)
+    loaded, lcbs = ann_index.load_pq_index(spark, idx)
+    assert len(lcbs) == 4 and set(loaded.columns) >= {"code0", "code3"}
+    assert loaded.count() == 40
+
+
+def test_round6_matches_spark_round(spark):
+    """Driver-side LUT rounding must equal Spark's F.round HALF_UP on
+    half-boundary values (Python's round() is half-even and diverges)."""
+    from pipelinewise_spark.functions.ann import _round6
+
+    vals = [5e-7, 1.5e-6, 2.5e-6, 0.1234565, 1.0000005, 0.0, 3.2e-6]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    assert [_round6(v) for v in vals] == got
+    assert _round6(float("inf")) == float("inf")
