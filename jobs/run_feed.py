@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Change-feed consumer job — the downstream ``spark-submit --py-files``
+entrypoint (the ingest half lives in ``jobs/run_cdc.py``).
+
+Tails a LakeTable's native change feed (``readStream.format("laketable")``,
+offsets = manifest versions, exactly-once via the streaming checkpoint)
+and drives one of three consumers:
+
+- ``replica``  fold each micro-batch (tombstones → D ops, ``_lsn`` as the
+  LSN) and MERGE into a second LakeTable — the replica-builder topology;
+  the replica converges to the source's live state across restarts
+  (tests/test_replication_chain.py proves convergence; this is the same
+  wiring as a CLI).
+- ``export``   append the raw feed to a parquet directory (training-data
+  export tail; downstream consumers fold by ``_lsn``).
+- ``index``    keep a persisted PQ index current: fold the batch
+  last-per-key, drop tombstones, encode ONLY the delta against the
+  index's saved codebooks and upsert
+  (``functions/ann_index.append_pq_codes``). The index must already be
+  fitted+saved by a batch job — this maintains it.
+
+Bounded runs (``--available-now``, default) drain what exists and exit 0;
+kill + rerun with the same --checkpoint resumes exactly. Omit it for a
+continuous tail.
+
+Usage:
+
+    spark-submit --py-files dist/pipelinewise_spark.zip jobs/run_feed.py \\
+        --source s3://bucket/lake/transcripts \\
+        --checkpoint s3://bucket/ckpt/replica \\
+        --mode replica --target s3://bucket/lake/transcripts-replica
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source", required=True, help="source LakeTable path")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--mode", choices=["replica", "export", "index"],
+                   default="replica")
+    p.add_argument("--target", required=True,
+                   help="replica table path / export dir / index dir")
+    p.add_argument("--starting-version", type=int, default=0,
+                   help="replay from this manifest version (default 0); "
+                        "ignored once the checkpoint holds an offset")
+    p.add_argument("--num-buckets", type=int, default=None,
+                   help="replica bucket count (default: match the source)")
+    p.add_argument("--vec-col", default="embedding", help="index mode")
+    p.add_argument("--max-bytes-per-partition", type=int, default=None)
+    p.add_argument("--available-now", dest="available_now",
+                   action="store_true", default=True)
+    p.add_argument("--continuous", dest="available_now", action="store_false",
+                   help="keep tailing instead of a bounded drain")
+    p.add_argument("--timeout-sec", type=int, default=0,
+                   help="await at most this long (0 = forever)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pipelinewise_spark.lake.stream_source import LakeTableStreamSource
+    from pipelinewise_spark.lake.table import (
+        METADATA_COLS, LakeTable, _struct_from_fields,
+    )
+    from pipelinewise_spark.session import warm_python_workers
+
+    spark = SparkSession.builder.appName("pipelinewise-spark-feed").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.dataSource.register(LakeTableStreamSource)
+    warm_python_workers(spark)
+
+    src = LakeTable(spark, args.source)
+    payload_fields = [
+        (f["logical"], f["type"])
+        for f in src.manifest["fields"]
+        if f["logical"] not in METADATA_COLS
+    ]
+    payload_cols = [n for n, _ in payload_fields]
+
+    reader = (
+        spark.readStream.format("laketable")
+        .option("path", src.path)
+        .option("startingVersion", args.starting_version)
+    )
+    if args.max_bytes_per_partition:
+        reader = reader.option(
+            "maxBytesPerPartition", args.max_bytes_per_partition
+        )
+    feed = reader.load()
+
+    def fold_batch(df):
+        """Feed micro-batch → change-event envelope: tombstones become D
+        ops, ``_lsn`` is the total order; CoW bucket re-emits and
+        multi-version keys are absorbed by the downstream merge's
+        last-per-key LSN dedup."""
+        return df.select(
+            *payload_cols,
+            F.col("_lsn").alias("lsn"),
+            F.when(F.col("_sdc_deleted_at").isNotNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+
+    if args.mode == "replica":
+        from pipelinewise_spark.cdc.pipeline import CdcPipeline
+
+        import os
+
+        if not os.path.isdir(os.path.join(args.target, "_manifests")):
+            replica = LakeTable.create(
+                spark, args.target,
+                _struct_from_fields(payload_fields),
+                src.key_cols,
+                num_buckets=args.num_buckets or src.num_buckets,
+            )
+        else:
+            replica = LakeTable(spark, args.target)
+        pipe = CdcPipeline(replica, stream="replica")
+        writer = feed.writeStream.foreachBatch(
+            lambda df, bid: pipe.apply_batch(fold_batch(df), batch_id=bid)
+        )
+    elif args.mode == "index":
+        from pipelinewise_spark.cdc.dedup import latest_per_key
+        from pipelinewise_spark.functions import ann_index
+
+        id_cols = src.key_cols
+        if len(id_cols) != 1:
+            p.error(
+                f"index mode needs a single-column key (the index id); "
+                f"source table is keyed on {id_cols}"
+            )
+
+        def maintain(df, bid):
+            delta = (
+                latest_per_key(fold_batch(df), id_cols, lsn_col="lsn")
+                .where(F.col("op") != "D")
+                .select(*id_cols, args.vec_col)
+            )
+            if delta.limit(1).count():
+                ann_index.append_pq_codes(
+                    args.target, delta, vec_col=args.vec_col
+                )
+
+        writer = feed.writeStream.foreachBatch(maintain)
+    else:  # export
+        writer = feed.writeStream.format("parquet").option(
+            "path", args.target
+        )
+
+    writer = writer.option("checkpointLocation", args.checkpoint)
+    if args.available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    ok = q.awaitTermination(args.timeout_sec or None)
+    if args.timeout_sec and not ok:
+        q.stop()
+        print("timed out waiting for the drain", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

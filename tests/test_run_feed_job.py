@@ -1,0 +1,118 @@
+"""jobs/run_feed.py — the downstream spark-submit CLI: change feed →
+replica merge / persisted-index maintenance, driven in-process through
+its main() exactly as spark-submit would."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "jobs")
+
+from pipelinewise_spark.cdc.gen import generate_change_events
+from pipelinewise_spark.cdc.merge import merge_into
+from pipelinewise_spark.cdc.events import TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA
+from pipelinewise_spark.functions import ann_index
+from pipelinewise_spark.lake.table import LakeTable
+
+
+def _live(t):
+    return (
+        t.refresh()
+        .read()
+        .where(F.col("_sdc_deleted_at").isNull())
+        .select("conv_id", "turn_idx", "text")
+    )
+
+
+def test_run_feed_replica_cli(spark, tmp_path):
+    import run_feed
+
+    ev = generate_change_events(
+        spark, n_convs=15, turns_per_conv=3, n_updates=30, delete_pct=15
+    ).persist()
+    a = LakeTable.create(
+        spark, str(tmp_path / "a"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4, properties={"soft_delete": True},
+    )
+    mid = ev.agg(F.max("lsn")).first()[0] // 2
+    merge_into(a, ev.where(F.col("lsn") <= mid), batch_id=0, soft_delete=True)
+
+    args = [
+        "--source", a.path,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "replica",
+        "--target", str(tmp_path / "b"),
+        "--timeout-sec", "180",
+    ]
+    assert run_feed.main(args) == 0
+    b = LakeTable(spark, str(tmp_path / "b"))
+    assert sorted(map(tuple, _live(a).collect())) == sorted(
+        map(tuple, _live(b).collect())
+    )
+
+    # more commits (updates + deletes), rerun with the SAME checkpoint:
+    # only the new range is consumed and the replica converges again
+    merge_into(a, ev.where(F.col("lsn") > mid), batch_id=1, soft_delete=True)
+    assert run_feed.main(args) == 0
+    assert sorted(map(tuple, _live(a).collect())) == sorted(
+        map(tuple, _live(b).collect())
+    )
+    ev.unpersist()
+
+
+def test_run_feed_index_cli(spark, tmp_path):
+    import random
+
+    import run_feed
+
+    rng = random.Random(17)
+
+    def emb_rows(ids):
+        return [(i, [round(rng.uniform(-1, 1), 4) for _ in range(16)])
+                for i in ids]
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "corpus"), schema, ["vec_id"], num_buckets=2
+    )
+
+    def as_events(rows, lsn0):
+        return spark.createDataFrame(
+            [(lsn0 + n, "I", i, v) for n, (i, v) in enumerate(rows)],
+            "lsn long, op string, vec_id long, embedding array<double>",
+        )
+
+    merge_into(t, as_events(emb_rows(range(40)), 0), batch_id=0)
+    idx = str(tmp_path / "idx")
+    codes, cbs = ann_index.fit_pq_index(
+        t.read().select("vec_id", "embedding"), m=2, sub_dim=8, k=4, iters=2
+    )
+    ann_index.save_pq_index(idx, codes, cbs)
+    v_fitted = t.refresh().version
+
+    # new vectors land; the index job consumes the feed from the fitted
+    # version and appends only the folded delta
+    merge_into(t, as_events(emb_rows(range(100, 112)), 500), batch_id=1)
+    args = [
+        "--source", t.path,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "index",
+        "--target", idx,
+        "--starting-version", str(v_fitted),
+        "--timeout-sec", "180",
+    ]
+    assert run_feed.main(args) == 0
+    loaded, _ = ann_index.load_pq_index(spark, idx)
+    assert loaded.count() == 52
+    assert loaded.where(F.col("vec_id") >= 100).count() == 12
