@@ -106,20 +106,39 @@ def main(argv: list[str] | None = None) -> int:
             .alias("op"),
         )
 
+    if args.mode in ("replica", "index") and src.key_cols and not (
+        src.manifest["properties"].get("soft_delete", False)
+    ):
+        # a hard-delete source's CoW rewrite just DROPS the row — the
+        # feed (files-added changelog) carries no tombstone, so neither
+        # the replica nor the index could ever learn about the delete;
+        # silent permanent divergence. Same guard shape as run_cdc's
+        # property validation.
+        p.error(
+            f"{args.mode} mode needs a soft-delete source table "
+            f"(create it with properties={{'soft_delete': True}}): a "
+            f"hard-delete CoW rewrite emits no tombstone into the "
+            f"change feed, so deletes would silently never propagate"
+        )
+
     if args.mode == "replica":
         from pipelinewise_spark.cdc.pipeline import CdcPipeline
+        from pipelinewise_spark.evolution.drift import reconcile
 
-        import os
-
-        if not os.path.isdir(os.path.join(args.target, "_manifests")):
+        if LakeTable.exists(args.target):
+            replica = LakeTable(spark, args.target)
+            # the source may have evolved since the replica was created
+            # — without this, the replica's bucket writer would silently
+            # project the new columns away on every batch
+            reconcile(replica, _struct_from_fields(payload_fields))
+            replica = replica.refresh()
+        else:
             replica = LakeTable.create(
                 spark, args.target,
                 _struct_from_fields(payload_fields),
                 src.key_cols,
                 num_buckets=args.num_buckets or src.num_buckets,
             )
-        else:
-            replica = LakeTable(spark, args.target)
         pipe = CdcPipeline(replica, stream="replica")
         writer = feed.writeStream.foreachBatch(
             lambda df, bid: pipe.apply_batch(fold_batch(df), batch_id=bid)
@@ -136,15 +155,22 @@ def main(argv: list[str] | None = None) -> int:
             )
 
         def maintain(df, bid):
-            delta = (
-                latest_per_key(fold_batch(df), id_cols, lsn_col="lsn")
-                .where(F.col("op") != "D")
-                .select(*id_cols, args.vec_col)
-            )
-            if delta.limit(1).count():
-                ann_index.append_pq_codes(
-                    args.target, delta, vec_col=args.vec_col
+            folded = latest_per_key(
+                fold_batch(df), id_cols, lsn_col="lsn"
+            ).persist()
+            try:
+                live = folded.where(F.col("op") != "D").select(
+                    *id_cols, args.vec_col
                 )
+                # empty deltas no-op inside append_pq_codes
+                ann_index.append_pq_codes(
+                    args.target, live, vec_col=args.vec_col
+                )
+                dead = folded.where(F.col("op") == "D").select(*id_cols)
+                if dead.limit(1).count():
+                    ann_index.delete_pq_codes(args.target, dead)
+            finally:
+                folded.unpersist()
 
         writer = feed.writeStream.foreachBatch(maintain)
     else:  # export

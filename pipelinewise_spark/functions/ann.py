@@ -573,13 +573,20 @@ def _round6(x: float) -> float:
     vs Spark's 1e-6) — driver-side LUTs must match the engine-side
     rounding or the two ADC variants disagree on boundary values."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     if not math.isfinite(x):
         return x
-    return float(
-        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    )
+    # a double's 17 significant digits + 6 decimals can need ~330
+    # digits of working precision at the extremes (1e308); the default
+    # 28-digit context raises InvalidOperation past ~1e22
+    with localcontext() as ctx:
+        ctx.prec = 400
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
 
 
 def _model_geometry(codebooks: list[dict]) -> tuple[int, int]:

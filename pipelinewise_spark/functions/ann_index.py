@@ -51,44 +51,79 @@ _INDEX_JSON = "index.json"
 _CODES_DIR = "codes"
 
 
-def _codes_path(path: str) -> str:
-    return os.path.join(path, _CODES_DIR)
+def _try_doc(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _INDEX_JSON)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
 
 
-def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int):
+def _doc_codes_path(path: str, doc: dict) -> str:
+    return os.path.join(path, doc.get("codes_dir", _CODES_DIR))
+
+
+def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int) -> str:
     """(Re)materialize the encoded table as a LakeTable keyed on the
-    vector id — atomic snapshot swap on re-save. A re-save whose
-    GEOMETRY changed (different code columns after a retrain with new
-    ``m``, or a different bucket count) recreates the table: reusing
-    the old manifest would silently project the new columns away
-    (write_bucket_files keeps only the manifest's logical columns)."""
-    import shutil
+    vector id; returns the codes DIR NAME to record in ``index.json``.
 
+    Same geometry (payload columns + bucket count) → in-place
+    ``overwrite`` of the current table (atomic via its manifest).
+    Changed geometry (retrain with a different ``m``, new bucket
+    count) or no usable table → a NEW versioned dir ``codes-<n>``:
+    the old table is untouched until ``index.json`` — the index's
+    single commit point — atomically flips to the new dir, so a crash
+    mid-save leaves the previous (codebooks, codes) pair fully
+    consistent, never a mixed or missing one. The caller removes
+    superseded/orphaned dirs after the flip."""
     from pipelinewise_spark.lake.table import (
         MANIFEST_DIR, METADATA_COLS, LakeTable,
     )
 
-    cp = _codes_path(path)
-    if os.path.isdir(os.path.join(cp, MANIFEST_DIR)):
-        t = LakeTable(df.sparkSession, cp)
-        payload = [
-            f["logical"]
-            for f in t.manifest["fields"]
-            if f["logical"] not in METADATA_COLS
-        ]
-        if set(payload) != set(df.columns) or t.num_buckets != num_buckets:
-            shutil.rmtree(cp)
-            t = None
-        else:
-            t.overwrite(df)
-            return
+    prev = _try_doc(path)
+    if prev is not None:
+        cur = prev.get("codes_dir", _CODES_DIR)
+        cp = os.path.join(path, cur)
+        if os.path.isdir(os.path.join(cp, MANIFEST_DIR)):
+            t = LakeTable(df.sparkSession, cp)
+            payload = [
+                f["logical"]
+                for f in t.manifest["fields"]
+                if f["logical"] not in METADATA_COLS
+            ]
+            if set(payload) == set(df.columns) and t.num_buckets == num_buckets:
+                t.overwrite(df)
+                return cur
+    n = 0
+    for d in os.listdir(path) if os.path.isdir(path) else []:
+        if d == _CODES_DIR:
+            n = max(n, 1)
+        elif d.startswith(_CODES_DIR + "-"):
+            try:
+                n = max(n, int(d.rsplit("-", 1)[1]))
+            except ValueError:
+                pass
+    new_dir = _CODES_DIR if n == 0 else f"{_CODES_DIR}-{n + 1}"
     LakeTable.create(
-        df.sparkSession, cp, df.schema, [id_col], num_buckets=num_buckets
+        df.sparkSession, os.path.join(path, new_dir), df.schema, [id_col],
+        num_buckets=num_buckets,
     ).overwrite(df)
+    return new_dir
 
 
-def _upsert_codes(path: str, df: DataFrame, id_col: str):
+def _cleanup_codes_dirs(path: str, keep: str) -> None:
+    """Remove superseded/orphaned codes dirs (anything but ``keep``) —
+    best-effort, AFTER the index.json flip."""
+    import shutil
+
+    for d in os.listdir(path):
+        if d != keep and (d == _CODES_DIR or d.startswith(_CODES_DIR + "-")):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
     """CoW-upsert encoded rows: new ids insert, changed ids replace.
+    An EMPTY delta is a no-op (no commit).
 
     The delta must carry ONE row per id — a change-feed micro-batch
     routinely holds several versions of the same vector (two updates in
@@ -97,25 +132,30 @@ def _upsert_codes(path: str, df: DataFrame, id_col: str):
     arbitrarily and could persist a stale code, so duplicates are
     REJECTED loudly instead.
 
-    The synthetic LSN is the target's next manifest version — strictly
-    increasing across increments (each commit bumps the version), so
-    the standard applied-LSN bookmark gives crash-retry idempotence
-    without the bounded batch-id window (an index sees unbounded
-    increments; exhausting the 1024-entry batch-id ring would brick
-    maintenance permanently)."""
+    The synthetic LSN is the target's next manifest version, so a
+    replay can never REGRESS a row; increments deliberately avoid the
+    bounded applied-batch-id ring (an index sees unbounded increments —
+    exhausting the 1024-entry window would brick maintenance). Note
+    what that does NOT give: a retried call re-applies its delta as a
+    fresh commit — harmless when the delta is identical (same-content
+    replace), but a retry that re-derives a DIFFERENT delta is a second
+    logical update, not a detected replay. Streaming callers get true
+    exactly-once from their checkpoint, not from this LSN."""
     from pipelinewise_spark.cdc.merge import merge_into
     from pipelinewise_spark.lake.table import LakeTable
 
     total, distinct = df.agg(
         F.count(id_col), F.count_distinct(F.col(id_col))
     ).first()
+    if total == 0:
+        return
     if total != distinct:
         raise ValueError(
             f"index increment carries {total - distinct} duplicate "
             f"{id_col} row(s); fold the delta to one row per id first "
             f"(last-per-key by the feed's _lsn)"
         )
-    t = LakeTable(df.sparkSession, _codes_path(path))
+    t = LakeTable(df.sparkSession, _doc_codes_path(path, doc))
     ver = int(t.version)
     src = df.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
         "op", F.lit("I")
@@ -123,10 +163,12 @@ def _upsert_codes(path: str, df: DataFrame, id_col: str):
     merge_into(t, src, stream="index")
 
 
-def _read_codes(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+def _read_codes(
+    spark: SparkSession, path: str, doc: dict, cols: list[str]
+) -> DataFrame:
     from pipelinewise_spark.lake.table import LakeTable
 
-    return LakeTable(spark, _codes_path(path)).read().select(*cols)
+    return LakeTable(spark, _doc_codes_path(path, doc)).read().select(*cols)
 
 
 def fit_pq_index(
@@ -159,14 +201,17 @@ def save_pq_index(
 ) -> None:
     """Persist a trained PQ index: codebooks (m dicts of cell→centroid,
     a few KB) to ``index.json``, the encoded corpus to the ``codes/``
-    LakeTable (atomic snapshot swap on re-save). The codes write is the
-    only distributed job — one scan of the already-encoded DataFrame
-    plus the keyed bucket write."""
+    LakeTable. The ``index.json`` replace is the COMMIT POINT: a crash
+    anywhere before it leaves the previous (codebooks, codes) pair
+    intact and consistent (see :func:`_save_codes`). The codes write is
+    the only distributed job — one scan of the already-encoded
+    DataFrame plus the keyed bucket write."""
     os.makedirs(path, exist_ok=True)
-    _save_codes(path, codes, id_col, num_buckets)
+    codes_dir = _save_codes(path, codes, id_col, num_buckets)
     doc = {
         "kind": "pq",
         "id_col": id_col,
+        "codes_dir": codes_dir,
         "params": params or {},
         "codebooks": [
             {str(c): list(v) for c, v in cb.items()} for cb in codebooks
@@ -176,6 +221,7 @@ def save_pq_index(
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, os.path.join(path, _INDEX_JSON))
+    _cleanup_codes_dirs(path, codes_dir)
 
 
 def load_pq_index(
@@ -190,7 +236,7 @@ def load_pq_index(
         for cb in doc["codebooks"]
     ]
     cols = [doc["id_col"]] + [f"code{j}" for j in range(len(codebooks))]
-    return _read_codes(spark, path, cols), codebooks
+    return _read_codes(spark, path, doc, cols), codebooks
 
 
 def append_pq_codes(
@@ -219,7 +265,30 @@ def append_pq_codes(
         new_df, codebooks, id_col=doc["id_col"], vec_col=vec_col,
         sub_dim=sub_dim,
     )
-    _upsert_codes(path, codes, doc["id_col"])
+    _upsert_codes(path, doc, codes, doc["id_col"])
+
+
+def delete_pq_codes(path: str, ids_df: DataFrame) -> None:
+    """Remove DELETED corpus vectors from the index: a change-feed
+    tombstone (or any deleted-ids set) must take its code OUT of the
+    codes table, or ADC keeps returning the dead document forever.
+    ``ids_df`` carries just the id column; the removal is the same
+    bucket-pruned merge with D ops (code columns as NULL before-images
+    — delete matches on the key alone)."""
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import LakeTable
+
+    doc = _load_doc(path, "pq")
+    id_col = doc["id_col"]
+    t = LakeTable(ids_df.sparkSession, _doc_codes_path(path, doc))
+    ver = int(t.version)
+    src = ids_df.select(F.col(id_col)).distinct()
+    for j in range(len(doc["codebooks"])):
+        src = src.withColumn(f"code{j}", F.lit(None).cast("int"))
+    src = src.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
+        "op", F.lit("D")
+    )
+    merge_into(t, src, stream="index")
 
 
 def fit_ivf_index(
@@ -271,13 +340,14 @@ def save_ivf_index(
     params: dict | None = None,
 ) -> None:
     """Persist an IVF index: centroids (k·dim doubles) to
-    ``index.json``, cell assignments to the ``codes/`` LakeTable
-    (atomic snapshot swap on re-save, keyed upserts on increment)."""
+    ``index.json``, cell assignments to the ``codes/`` LakeTable.
+    ``index.json`` is the commit point, as in :func:`save_pq_index`."""
     os.makedirs(path, exist_ok=True)
-    _save_codes(path, cells, id_col, num_buckets)
+    codes_dir = _save_codes(path, cells, id_col, num_buckets)
     doc = {
         "kind": "ivf",
         "id_col": id_col,
+        "codes_dir": codes_dir,
         "params": params or {},
         "centroids": [[int(c), list(v)] for c, v in centroids],
     }
@@ -285,6 +355,7 @@ def save_ivf_index(
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, os.path.join(path, _INDEX_JSON))
+    _cleanup_codes_dirs(path, codes_dir)
 
 
 def load_ivf_index(
@@ -299,7 +370,7 @@ def load_ivf_index(
     centroids = [
         (int(c), [float(x) for x in v]) for c, v in doc["centroids"]
     ]
-    cells = _read_codes(spark, path, [doc["id_col"], "cell"])
+    cells = _read_codes(spark, path, doc, [doc["id_col"], "cell"])
     return cells, centroids
 
 
@@ -335,7 +406,7 @@ def append_ivf_cells(
     assigned = base.select(
         F.col(id_col), F.array_min(F.array(*opts))["c"].alias("cell")
     )
-    _upsert_codes(path, assigned, id_col)
+    _upsert_codes(path, doc, assigned, id_col)
 
 
 def _load_doc(path: str, kind: str) -> dict:

@@ -84,16 +84,18 @@ def test_run_feed_index_cli(spark, tmp_path):
         ]
     )
     t = LakeTable.create(
-        spark, str(tmp_path / "corpus"), schema, ["vec_id"], num_buckets=2
+        spark, str(tmp_path / "corpus"), schema, ["vec_id"], num_buckets=2,
+        properties={"soft_delete": True},
     )
 
-    def as_events(rows, lsn0):
+    def as_events(rows, lsn0, op="I"):
         return spark.createDataFrame(
-            [(lsn0 + n, "I", i, v) for n, (i, v) in enumerate(rows)],
+            [(lsn0 + n, op, i, v) for n, (i, v) in enumerate(rows)],
             "lsn long, op string, vec_id long, embedding array<double>",
         )
 
-    merge_into(t, as_events(emb_rows(range(40)), 0), batch_id=0)
+    merge_into(t, as_events(emb_rows(range(40)), 0), batch_id=0,
+               soft_delete=True)
     idx = str(tmp_path / "idx")
     codes, cbs = ann_index.fit_pq_index(
         t.read().select("vec_id", "embedding"), m=2, sub_dim=8, k=4, iters=2
@@ -101,9 +103,13 @@ def test_run_feed_index_cli(spark, tmp_path):
     ann_index.save_pq_index(idx, codes, cbs)
     v_fitted = t.refresh().version
 
-    # new vectors land; the index job consumes the feed from the fitted
-    # version and appends only the folded delta
-    merge_into(t, as_events(emb_rows(range(100, 112)), 500), batch_id=1)
+    # new vectors land AND two existing ones are deleted; the index job
+    # consumes the feed from the fitted version, appends the folded
+    # delta and REMOVES the tombstoned codes
+    merge_into(t, as_events(emb_rows(range(100, 112)), 500), batch_id=1,
+               soft_delete=True)
+    merge_into(t, as_events(emb_rows([3, 9]), 600, op="D"), batch_id=2,
+               soft_delete=True)
     args = [
         "--source", t.path,
         "--checkpoint", str(tmp_path / "ck"),
@@ -114,5 +120,76 @@ def test_run_feed_index_cli(spark, tmp_path):
     ]
     assert run_feed.main(args) == 0
     loaded, _ = ann_index.load_pq_index(spark, idx)
-    assert loaded.count() == 52
+    assert loaded.count() == 50  # 40 + 12 new - 2 deleted
     assert loaded.where(F.col("vec_id") >= 100).count() == 12
+    assert loaded.where(F.col("vec_id").isin(3, 9)).count() == 0
+
+
+def test_run_feed_rejects_hard_delete_source(spark, tmp_path):
+    """Replica/index modes must refuse a hard-delete source: its CoW
+    rewrite emits no tombstone into the feed, so deletes could never
+    propagate — silent permanent divergence."""
+    import pytest
+    import run_feed
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "hard"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2,
+    )
+    with pytest.raises(SystemExit):
+        run_feed.main([
+            "--source", t.path, "--checkpoint", str(tmp_path / "ck"),
+            "--mode", "replica", "--target", str(tmp_path / "b"),
+        ])
+
+
+def test_run_feed_export_mode(spark, tmp_path):
+    import run_feed
+
+    ev = generate_change_events(spark, n_convs=8, turns_per_conv=2,
+                                n_updates=10)
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2,
+    )
+    merge_into(t, ev, batch_id=0)
+    out = str(tmp_path / "export")
+    assert run_feed.main([
+        "--source", t.path, "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "export", "--target", out, "--timeout-sec", "120",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == t.read().count()
+    assert "_lsn" in got.columns
+
+
+def test_run_feed_cli_real_subprocess(spark, tmp_path):
+    """Drive the CLI as a REAL OS process (its own JVM/session, the
+    spark-submit shape) — catches worker-side sys.path / pickling
+    issues an in-process main() call cannot."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    ev = generate_change_events(spark, n_convs=8, turns_per_conv=2,
+                                n_updates=12, delete_pct=10)
+    a = LakeTable.create(
+        spark, str(tmp_path / "a"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2, properties={"soft_delete": True},
+    )
+    merge_into(a, ev, batch_id=0, soft_delete=True)
+    want = sorted(map(tuple, _live(a).collect()))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo,
+               PYSPARK_SUBMIT_ARGS="--master local[2] pyspark-shell")
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "jobs", "run_feed.py"),
+         "--source", a.path, "--checkpoint", str(tmp_path / "ck"),
+         "--mode", "replica", "--target", str(tmp_path / "b"),
+         "--timeout-sec", "240"],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    b = LakeTable(spark, str(tmp_path / "b"))
+    assert sorted(map(tuple, _live(b).collect())) == want
