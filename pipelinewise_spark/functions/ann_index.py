@@ -64,36 +64,21 @@ def _doc_codes_path(path: str, doc: dict) -> str:
 
 
 def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int) -> str:
-    """(Re)materialize the encoded table as a LakeTable keyed on the
-    vector id; returns the codes DIR NAME to record in ``index.json``.
+    """Materialize the encoded table as a LakeTable keyed on the vector
+    id; returns the codes DIR NAME to record in ``index.json``.
 
-    Same geometry (payload columns + bucket count) → in-place
-    ``overwrite`` of the current table (atomic via its manifest).
-    Changed geometry (retrain with a different ``m``, new bucket
-    count) or no usable table → a NEW versioned dir ``codes-<n>``:
-    the old table is untouched until ``index.json`` — the index's
-    single commit point — atomically flips to the new dir, so a crash
-    mid-save leaves the previous (codebooks, codes) pair fully
-    consistent, never a mixed or missing one. The caller removes
-    superseded/orphaned dirs after the flip."""
-    from pipelinewise_spark.lake.table import (
-        MANIFEST_DIR, METADATA_COLS, LakeTable,
-    )
+    EVERY save writes a fresh versioned dir (``codes``, ``codes-2``,
+    ...): a retrained index's codebooks ~always differ, so an in-place
+    overwrite of the current table would open a crash window pairing
+    the NEW codes with the OLD codebooks — and a full overwrite
+    rewrites every bucket anyway, so versioning the dir costs nothing.
+    The old table stays untouched until ``index.json`` — the index's
+    single commit point — atomically flips to the new dir; the caller
+    removes superseded/orphaned dirs after the flip. (Incremental
+    updates go through :func:`_upsert_codes`, which IS atomic in place
+    via the table's own manifest commit.)"""
+    from pipelinewise_spark.lake.table import LakeTable
 
-    prev = _try_doc(path)
-    if prev is not None:
-        cur = prev.get("codes_dir", _CODES_DIR)
-        cp = os.path.join(path, cur)
-        if os.path.isdir(os.path.join(cp, MANIFEST_DIR)):
-            t = LakeTable(df.sparkSession, cp)
-            payload = [
-                f["logical"]
-                for f in t.manifest["fields"]
-                if f["logical"] not in METADATA_COLS
-            ]
-            if set(payload) == set(df.columns) and t.num_buckets == num_buckets:
-                t.overwrite(df)
-                return cur
     n = 0
     for d in os.listdir(path) if os.path.isdir(path) else []:
         if d == _CODES_DIR:
