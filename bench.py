@@ -486,6 +486,28 @@ def run_default() -> dict:
     ms = multistream_bench(spark, events_path)
     feed = feed_drain_bench(spark, events_path)
     qrows = query_benches(spark)
+
+    # opt-in scale row (PW_BENCH_SCALE=25): the same 3-micro-batch apply
+    # on a SCALE x input — the marginal-rate evidence for the 10^10
+    # target (fixed per-micro-batch costs amortize; round 5 measured
+    # 515-858k ev/s at 25x vs 120k at 1x). Kept out of the default run
+    # because generation + N_RUNS repeats add ~10 min.
+    scale = int(os.environ.get("PW_BENCH_SCALE", "0"))
+    if scale > 1:
+        from pipelinewise_spark.cdc.gen import generate_change_events
+
+        spath = os.path.join(
+            tempfile.gettempdir(), f"pw-bench-events-sf{SF}-x{scale}"
+        )
+        if not os.path.exists(os.path.join(spath, "_SUCCESS")):
+            generate_change_events(
+                spark, n_convs=N_CONVS * scale, turns_per_conv=TURNS,
+                n_updates=N_UPDATES * scale, delete_pct=5, dup_every=50,
+                skew_alpha=2.0,
+            ).write.mode("overwrite").parquet(spath)
+        cdc_apply_bench(spark, spath)  # warm-up
+        rows.repeat(f"cdc_apply_{scale}x",
+                    lambda: cdc_apply_bench(spark, spath))
     total = time.perf_counter() - t_total0
 
     cdc = rows.last["cdc_apply"]
@@ -503,6 +525,8 @@ def run_default() -> dict:
         "lake_feed_drain_cold": round(feed["cold_sec"], 3),
     }
     queries.update(qrows.medians())
+    for k, v in med.items():  # opt-in rows (cdc_apply_{scale}x)
+        queries.setdefault(k, v)
     spread = rows.spread()
     spread.update({
         "merge_bigtarget_plain": [min(big["plain"]["times"]), max(big["plain"]["times"])],
@@ -528,6 +552,12 @@ def run_default() -> dict:
         "final_rows": cdc["final_rows"],
         "parallelism": CPUS,
     }
+    if scale > 1:
+        srow = rows.last[f"cdc_apply_{scale}x"]
+        result[f"events_per_sec_{scale}x"] = round(
+            srow["n_events"] / med[f"cdc_apply_{scale}x"]
+        )
+        result[f"n_change_events_{scale}x"] = srow["n_events"]
     spark.stop()
     return result
 
@@ -585,8 +615,32 @@ def run_scaling(levels=None) -> dict:
     }
 
 
+def _emit(result: dict) -> None:
+    """Print the artifact so the driver can always parse it.
+
+    The driver tail-captures ~2000 chars of stdout and parses the LAST
+    JSON line — round 5's per-row spread map grew the single line past
+    that window and the driver recorded parsed=null. So: the FULL
+    result (incl. spread) goes to a sidecar file + an EARLY stdout
+    line; the FINAL line is a compact summary (metric, value, per-query
+    medians, throughput) kept well inside the capture window."""
+    with open(os.path.join(REPO, "BENCH_detail.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    compact = {k: v for k, v in result.items() if k != "spread"}
+    compact["detail"] = "BENCH_detail.json"
+    line = json.dumps(compact)
+    # defensive: shed query rows (newest-inserted first — the headline
+    # cdc_apply rows were inserted first and go last) until it fits
+    while len(line) > 1500 and compact["queries"]:
+        compact["queries"].popitem()
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
+    print(line)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_default()))
+        _emit(run_default())

@@ -13,11 +13,13 @@ and drives one of three consumers:
   wiring as a CLI).
 - ``export``   append the raw feed to a parquet directory (training-data
   export tail; downstream consumers fold by ``_lsn``).
-- ``index``    keep a persisted PQ index current: fold the batch
-  last-per-key, drop tombstones, encode ONLY the delta against the
-  index's saved codebooks and upsert
-  (``functions/ann_index.append_pq_codes``). The index must already be
-  fitted+saved by a batch job — this maintains it.
+- ``index``    keep a persisted PQ or IVF index current (``--index-kind``;
+  ``auto`` reads the kind from index.json): drop CoW re-emits via the
+  index's feed-LSN watermark, fold the remainder last-per-key, encode
+  ONLY the true delta against the saved codebooks/centroids, upsert,
+  and propagate deletes (``functions/ann_index.append_*``/
+  ``delete_*``). The index must already be fitted+saved by a batch job
+  — this maintains it.
 
 Bounded runs (``--available-now``, default) drain what exists and exit 0;
 kill + rerun with the same --checkpoint resumes exactly. Omit it for a
@@ -51,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=None,
                    help="replica bucket count (default: match the source)")
     p.add_argument("--vec-col", default="embedding", help="index mode")
+    p.add_argument("--index-kind", choices=["pq", "ivf", "auto"],
+                   default="auto",
+                   help="index mode: which maintenance pair to run "
+                        "(auto reads the kind from the index.json)")
     p.add_argument("--max-bytes-per-partition", type=int, default=None)
     p.add_argument("--available-now", dest="available_now",
                    action="store_true", default=True)
@@ -72,7 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("pipelinewise-spark-feed").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.dataSource.register(LakeTableStreamSource)
-    warm_python_workers(spark)
+    # this job's first real work IS a data-source drain — warm that
+    # pool too (see session.warm_python_workers)
+    warm_python_workers(spark, data_source=True)
 
     src = LakeTable(spark, args.source)
     payload_fields = [
@@ -154,21 +162,37 @@ def main(argv: list[str] | None = None) -> int:
                 f"source table is keyed on {id_cols}"
             )
 
+        kind = args.index_kind
+        if kind == "auto":
+            kind = ann_index.index_kind(args.target)
+        append = (ann_index.append_pq_codes if kind == "pq"
+                  else ann_index.append_ivf_cells)
+        delete = (ann_index.delete_pq_codes if kind == "pq"
+                  else ann_index.delete_ivf_cells)
+
         def maintain(df, bid):
+            # re-emit filter: a CoW bucket rewrite RE-EMITS the whole
+            # bucket into the feed, but unchanged rows keep their
+            # ORIGINAL _lsn — the index's watermark drops them so each
+            # increment encodes O(true delta), not O(touched buckets)
+            wm = ann_index.feed_watermark(args.target)
             folded = latest_per_key(
-                fold_batch(df), id_cols, lsn_col="lsn"
+                fold_batch(df.where(F.col("_lsn") > wm)),
+                id_cols, lsn_col="lsn",
             ).persist()
             try:
+                hi = folded.agg(F.max("lsn")).first()[0]
+                if hi is None:
+                    return  # batch was all re-emits: nothing new
                 live = folded.where(F.col("op") != "D").select(
                     *id_cols, args.vec_col
                 )
-                # empty deltas no-op inside append_pq_codes
-                ann_index.append_pq_codes(
-                    args.target, live, vec_col=args.vec_col
-                )
+                # empty deltas no-op inside append_*
+                append(args.target, live, vec_col=args.vec_col)
                 dead = folded.where(F.col("op") == "D").select(*id_cols)
                 if dead.limit(1).count():
-                    ann_index.delete_pq_codes(args.target, dead)
+                    delete(args.target, dead)
+                ann_index.set_feed_watermark(args.target, int(hi))
             finally:
                 folded.unpersist()
 
@@ -187,6 +211,22 @@ def main(argv: list[str] | None = None) -> int:
         q.stop()
         print("timed out waiting for the drain", file=sys.stderr)
         return 1
+    if args.mode == "index":
+        import json
+
+        from pipelinewise_spark.functions import ann_index
+
+        doc = ann_index._load_doc_any(args.target)
+        # operator-facing drift report: retrain when the probe trips
+        print(json.dumps({
+            "index": args.target,
+            "kind": doc["kind"],
+            "feed_lsn_watermark": doc.get("feed_lsn_watermark"),
+            "fit_error": doc.get("fit_error"),
+            "last_delta_error": doc.get("last_delta_error"),
+            "last_delta_rows": doc.get("last_delta_rows"),
+            "needs_retrain": ann_index.needs_retrain(args.target),
+        }))
     return 0
 
 

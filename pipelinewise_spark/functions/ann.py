@@ -419,10 +419,23 @@ def ivf_topk(
     the pretrained path builds the same k·dim broadcast table from
     saved literals and touches only the probed cells."""
     if centroids is not None:
+        if not centroids:
+            # an empty centroid table would silently return ZERO rows
+            # for every query — fail loudly instead
+            raise ValueError(
+                "ivf_topk: centroids is empty — fit/save the index "
+                "before querying the pretrained path"
+            )
         spark = corpus.sparkSession
+        # coerce labels explicitly (numpy ints etc. would fail or
+        # mis-type schema inference from the first element)
+        as_str = isinstance(centroids[0][0], str)
         cents = spark.createDataFrame(
-            [(c, [float(x) for x in v]) for c, v in centroids],
-            f"label {'string' if centroids and isinstance(centroids[0][0], str) else 'bigint'}, cv array<double>",
+            [
+                (str(c) if as_str else int(c), [float(x) for x in v])
+                for c, v in centroids
+            ],
+            f"label {'string' if as_str else 'bigint'}, cv array<double>",
         )
     else:
         cents = (

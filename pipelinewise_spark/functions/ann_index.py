@@ -96,19 +96,40 @@ def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int) -> str:
     return new_dir
 
 
-def _cleanup_codes_dirs(path: str, keep: str) -> None:
-    """Remove superseded/orphaned codes dirs (anything but ``keep``) —
-    best-effort, AFTER the index.json flip."""
+def _cleanup_codes_dirs(path: str, keep: set[str]) -> None:
+    """Remove superseded/orphaned codes dirs (anything not in ``keep``)
+    — best-effort, AFTER the index.json flip.
+
+    Re-saves keep the immediately-superseded snapshot as a READER GRACE
+    period: a long-running query job that loaded the index before the
+    re-save holds a lazy DataFrame over the old dir's files; deleting
+    them mid-query would fail it. One prior snapshot survives until the
+    NEXT re-save (or an explicit :func:`vacuum_index`), so readers only
+    need to re-load once per re-save cycle — the same one-version
+    guarantee the LakeTable's own vacuum gives its readers."""
     import shutil
 
     for d in os.listdir(path):
-        if d != keep and (d == _CODES_DIR or d.startswith(_CODES_DIR + "-")):
+        if d not in keep and (
+            d == _CODES_DIR or d.startswith(_CODES_DIR + "-")
+        ):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def vacuum_index(path: str) -> None:
+    """Drop every codes snapshot except the CURRENT one (including the
+    grace-period dir a re-save leaves for in-flight readers). Run it
+    when no query job older than the last re-save can still be alive."""
+    doc = _try_doc(path)
+    if doc is None:
+        return
+    _cleanup_codes_dirs(path, {doc.get("codes_dir", _CODES_DIR)})
 
 
 def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
     """CoW-upsert encoded rows: new ids insert, changed ids replace.
-    An EMPTY delta is a no-op (no commit).
+    An EMPTY delta is a no-op (no commit). Returns the applied row
+    count (0 for the no-op) so callers can gate drift bookkeeping.
 
     The delta must carry ONE row per id — a change-feed micro-batch
     routinely holds several versions of the same vector (two updates in
@@ -133,7 +154,7 @@ def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
         F.count(id_col), F.count_distinct(F.col(id_col))
     ).first()
     if total == 0:
-        return
+        return 0
     if total != distinct:
         raise ValueError(
             f"index increment carries {total - distinct} duplicate "
@@ -146,6 +167,7 @@ def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
         "op", F.lit("I")
     )
     merge_into(t, src, stream="index")
+    return int(total)
 
 
 def _read_codes(
@@ -154,6 +176,78 @@ def _read_codes(
     from pipelinewise_spark.lake.table import LakeTable
 
     return LakeTable(spark, _doc_codes_path(path, doc)).read().select(*cols)
+
+
+def _update_doc(path: str, **fields) -> None:
+    """Atomically fold metadata fields (drift stats, feed watermark)
+    into ``index.json``. Single-writer per index (module contract), so
+    read-modify-replace is safe; the replace is atomic either way."""
+    doc = _load_doc_any(path)
+    doc.update(fields)
+    tmp = os.path.join(path, _INDEX_JSON + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(path, _INDEX_JSON))
+
+
+def _min_d2(sub, centroid_vecs) -> "F.Column":
+    """min over centroids of ||sub - c||² (expansion form, clamped at 0
+    against FP cancellation) — the quantization error of one subspace."""
+    s_dot = ann.dot(sub, sub)
+    opts = []
+    for cv in centroid_vecs:
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        cc = float(sum(x * x for x in cv))
+        opts.append(s_dot + F.lit(cc) - 2.0 * ann.dot(sub, arr))
+    best = opts[0] if len(opts) == 1 else F.least(*opts)
+    return F.greatest(best, F.lit(0.0))
+
+
+def _pq_mse(df: DataFrame, codebooks: list[dict], vec_col: str) -> float:
+    """Mean PQ quantization error of ``df`` under ``codebooks``:
+    avg over rows of Σ_j min_c ||sub_j − centroid_{j,c}||². One scan,
+    pure-JVM expressions — cheap enough to run on every fit AND every
+    increment delta (the drift probe's whole point)."""
+    sub_dim = len(next(iter(codebooks[0].values())))
+    base = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    total = None
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
+        term = _min_d2(sub, [cb[c] for c in sorted(cb)])
+        total = term if total is None else total + term
+    val = base.agg(F.avg(total)).first()[0]
+    return float(val) if val is not None else 0.0
+
+
+def _ivf_mse(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+) -> float:
+    """Mean distance-to-nearest-centroid — the IVF drift probe."""
+    base = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    term = _min_d2(F.col("v"), [v for _, v in centroids])
+    val = base.agg(F.avg(term)).first()[0]
+    return float(val) if val is not None else 0.0
+
+
+def needs_retrain(path: str, factor: float = 2.0) -> bool:
+    """Increments never retrain the codebooks/centroids — this probe
+    says when a retrain IS warranted: the last delta's mean quantization
+    error (recorded by ``append_*`` into ``index.json``) exceeds
+    ``factor`` × the error measured over the fit corpus at save time.
+    Drifted data quantizes badly against stale codebooks, so rising
+    delta error is exactly the signal; a fresh fit+save resets both
+    numbers. Returns False when either number is missing (old index, or
+    saved without ``fit_df``). Reference analog: the resync-size guard
+    that flips PipelineWise from incremental to full resync
+    (pipelinewise/utils.py get_tables_size usage)."""
+    doc = _load_doc_any(path)
+    fit_err = doc.get("fit_error")
+    delta_err = doc.get("last_delta_error")
+    if fit_err is None or delta_err is None:
+        return False
+    if fit_err <= 0.0:
+        return delta_err > 0.0
+    return delta_err > factor * fit_err
 
 
 def fit_pq_index(
@@ -183,6 +277,8 @@ def save_pq_index(
     id_col: str = "vec_id",
     num_buckets: int = 16,
     params: dict | None = None,
+    fit_df: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> None:
     """Persist a trained PQ index: codebooks (m dicts of cell→centroid,
     a few KB) to ``index.json``, the encoded corpus to the ``codes/``
@@ -190,8 +286,13 @@ def save_pq_index(
     anywhere before it leaves the previous (codebooks, codes) pair
     intact and consistent (see :func:`_save_codes`). The codes write is
     the only distributed job — one scan of the already-encoded
-    DataFrame plus the keyed bucket write."""
+    DataFrame plus the keyed bucket write.
+
+    Pass ``fit_df`` (the corpus the codebooks were trained on) to record
+    its mean quantization error as the :func:`needs_retrain` drift
+    baseline — one extra scan. A re-save resets the drift stats."""
     os.makedirs(path, exist_ok=True)
+    old = _try_doc(path)
     codes_dir = _save_codes(path, codes, id_col, num_buckets)
     doc = {
         "kind": "pq",
@@ -202,11 +303,16 @@ def save_pq_index(
             {str(c): list(v) for c, v in cb.items()} for cb in codebooks
         ],
     }
+    if fit_df is not None:
+        doc["fit_error"] = _pq_mse(fit_df, codebooks, vec_col)
     tmp = os.path.join(path, _INDEX_JSON + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, os.path.join(path, _INDEX_JSON))
-    _cleanup_codes_dirs(path, codes_dir)
+    keep = {codes_dir}
+    if old is not None:  # reader grace: see _cleanup_codes_dirs
+        keep.add(old.get("codes_dir", _CODES_DIR))
+    _cleanup_codes_dirs(path, keep)
 
 
 def load_pq_index(
@@ -250,7 +356,35 @@ def append_pq_codes(
         new_df, codebooks, id_col=doc["id_col"], vec_col=vec_col,
         sub_dim=sub_dim,
     )
-    _upsert_codes(path, doc, codes, doc["id_col"])
+    applied = _upsert_codes(path, doc, codes, doc["id_col"])
+    if applied:
+        # drift probe: how badly does the DELTA quantize against the
+        # saved (never-retrained) codebooks — see needs_retrain
+        _update_doc(
+            path,
+            last_delta_error=_pq_mse(new_df, codebooks, vec_col),
+            last_delta_rows=applied,
+        )
+
+
+def _delete_rows(path: str, doc: dict, ids_df: DataFrame) -> None:
+    """Shared removal path: bucket-pruned merge with D ops keyed on the
+    id alone; the non-key columns ride along as NULL before-images typed
+    from the table's own manifest (delete matches on the key)."""
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import METADATA_COLS, LakeTable
+
+    id_col = doc["id_col"]
+    t = LakeTable(ids_df.sparkSession, _doc_codes_path(path, doc))
+    ver = int(t.version)
+    src = ids_df.select(F.col(id_col)).distinct()
+    for f in t.manifest["fields"]:
+        if f["logical"] != id_col and f["logical"] not in METADATA_COLS:
+            src = src.withColumn(f["logical"], F.lit(None).cast(f["type"]))
+    src = src.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
+        "op", F.lit("D")
+    )
+    merge_into(t, src, stream="index")
 
 
 def delete_pq_codes(path: str, ids_df: DataFrame) -> None:
@@ -260,20 +394,7 @@ def delete_pq_codes(path: str, ids_df: DataFrame) -> None:
     ``ids_df`` carries just the id column; the removal is the same
     bucket-pruned merge with D ops (code columns as NULL before-images
     — delete matches on the key alone)."""
-    from pipelinewise_spark.cdc.merge import merge_into
-    from pipelinewise_spark.lake.table import LakeTable
-
-    doc = _load_doc(path, "pq")
-    id_col = doc["id_col"]
-    t = LakeTable(ids_df.sparkSession, _doc_codes_path(path, doc))
-    ver = int(t.version)
-    src = ids_df.select(F.col(id_col)).distinct()
-    for j in range(len(doc["codebooks"])):
-        src = src.withColumn(f"code{j}", F.lit(None).cast("int"))
-    src = src.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
-        "op", F.lit("D")
-    )
-    merge_into(t, src, stream="index")
+    _delete_rows(path, _load_doc(path, "pq"), ids_df)
 
 
 def fit_ivf_index(
@@ -323,11 +444,15 @@ def save_ivf_index(
     id_col: str = "vec_id",
     num_buckets: int = 16,
     params: dict | None = None,
+    fit_df: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> None:
     """Persist an IVF index: centroids (k·dim doubles) to
     ``index.json``, cell assignments to the ``codes/`` LakeTable.
-    ``index.json`` is the commit point, as in :func:`save_pq_index`."""
+    ``index.json`` is the commit point, as in :func:`save_pq_index`;
+    ``fit_df`` records the :func:`needs_retrain` drift baseline."""
     os.makedirs(path, exist_ok=True)
+    old = _try_doc(path)
     codes_dir = _save_codes(path, cells, id_col, num_buckets)
     doc = {
         "kind": "ivf",
@@ -336,11 +461,18 @@ def save_ivf_index(
         "params": params or {},
         "centroids": [[int(c), list(v)] for c, v in centroids],
     }
+    if fit_df is not None:
+        doc["fit_error"] = _ivf_mse(
+            fit_df, [(c, v) for c, v in centroids], vec_col
+        )
     tmp = os.path.join(path, _INDEX_JSON + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, os.path.join(path, _INDEX_JSON))
-    _cleanup_codes_dirs(path, codes_dir)
+    keep = {codes_dir}
+    if old is not None:  # reader grace: see _cleanup_codes_dirs
+        keep.add(old.get("codes_dir", _CODES_DIR))
+    _cleanup_codes_dirs(path, keep)
 
 
 def load_ivf_index(
@@ -391,14 +523,61 @@ def append_ivf_cells(
     assigned = base.select(
         F.col(id_col), F.array_min(F.array(*opts))["c"].alias("cell")
     )
-    _upsert_codes(path, doc, assigned, id_col)
+    applied = _upsert_codes(path, doc, assigned, id_col)
+    if applied:
+        _update_doc(
+            path,
+            last_delta_error=_ivf_mse(new_df, centroids, vec_col),
+            last_delta_rows=applied,
+        )
+
+
+def delete_ivf_cells(path: str, ids_df: DataFrame) -> None:
+    """IVF twin of :func:`delete_pq_codes`: take tombstoned vectors'
+    cell rows OUT of the cells LakeTable. ``ivf_topk`` inner-joins the
+    cells onto the live corpus, so stale rows never produce wrong
+    answers — but left in place they accumulate without bound (dead-id
+    garbage grows with total churn, not live corpus size) and every
+    probe scans them; symmetric maintenance keeps the index
+    O(live corpus)."""
+    _delete_rows(path, _load_doc(path, "ivf"), ids_df)
 
 
 def _load_doc(path: str, kind: str) -> dict:
-    with open(os.path.join(path, _INDEX_JSON)) as fh:
-        doc = json.load(fh)
+    doc = _load_doc_any(path)
     if doc.get("kind") != kind:
         raise ValueError(
             f"index at {path} is kind={doc.get('kind')!r}, expected {kind!r}"
         )
     return doc
+
+
+def _load_doc_any(path: str) -> dict:
+    with open(os.path.join(path, _INDEX_JSON)) as fh:
+        return json.load(fh)
+
+
+def index_kind(path: str) -> str:
+    """``"pq"`` or ``"ivf"`` — lets a consumer (jobs/run_feed.py
+    ``--index-kind auto``) dispatch maintenance without being told."""
+    return _load_doc_any(path)["kind"]
+
+
+def feed_watermark(path: str) -> int:
+    """Highest change-feed ``_lsn`` this index has absorbed (-1 before
+    the first increment). A CoW bucket rewrite RE-EMITS every row of
+    the bucket into the change feed, but re-emitted rows keep their
+    ORIGINAL per-row ``_lsn`` — so filtering a micro-batch to
+    ``_lsn > feed_watermark(path)`` drops exactly the unchanged
+    re-emits and keeps exactly the true inserts/updates/deletes. Without
+    it, one changed vector re-encodes and re-merges its whole bucket
+    per batch (correct, but O(bucket) instead of O(delta) work)."""
+    return int(_load_doc_any(path).get("feed_lsn_watermark", -1))
+
+
+def set_feed_watermark(path: str, lsn: int) -> None:
+    """Record the watermark AFTER the increment lands. Crash between
+    the upsert and this write just re-applies the same delta next run
+    (same-content replace — idempotent); the streaming checkpoint is
+    what guarantees the batch itself is not lost."""
+    _update_doc(path, feed_lsn_watermark=int(lsn))

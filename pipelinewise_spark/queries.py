@@ -1884,29 +1884,123 @@ def s16_discovery(spark, sf):
     )
 
 
+# ADC scoring oracle over the PERSISTED index path: the PQ CTE chain
+# (_pq_sub_sql — identical training replay as ann_pq_codes) followed by
+# per-(query, subspace) LUTs against the final codebooks c1_j and the
+# rank-by-approximate-distance top-k. The Spark side round-trips the
+# model through save_pq_index/load_pq_index before scoring, so this row
+# gates the full production chain: fit → persist → load → ADC.
+_ADC_LOADED_SQL = (
+    "WITH "
+    + ",".join(_pq_sub_sql(j, 16, 8) for j in range(4))
+    + """,
+    codes AS (
+      SELECT a1_0.id AS vec_id,
+             a1_0.cell AS code0, a1_1.cell AS code1,
+             a1_2.cell AS code2, a1_3.cell AS code3
+      FROM a1_0 JOIN a1_1 ON a1_1.id = a1_0.id
+                JOIN a1_2 ON a1_2.id = a1_0.id
+                JOIN a1_3 ON a1_3.id = a1_0.id),
+    q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8),"""
+    + ",".join(
+        f"""
+    lut_{j} AS (
+      SELECT q.q_id, c.cell,
+             round(list_sum(list_transform(
+               list_zip(q.qv[{j * 16 + 1}:{(j + 1) * 16}], c.v),
+               p -> power(p[1] - p[2], 2))), 6) AS d2
+      FROM q CROSS JOIN c1_{j} c)"""
+        for j in range(4)
+    )
+    + """,
+    scored AS (
+      SELECT l0.q_id, c.vec_id,
+             round(l0.d2 + l1.d2 + l2.d2 + l3.d2, 6) AS d2
+      FROM codes c
+      JOIN lut_0 l0 ON l0.cell = c.code0
+      JOIN lut_1 l1 ON l1.cell = c.code1 AND l1.q_id = l0.q_id
+      JOIN lut_2 l2 ON l2.cell = c.code2 AND l2.q_id = l0.q_id
+      JOIN lut_3 l3 ON l3.cell = c.code3 AND l3.q_id = l0.q_id)
+    SELECT q_id, vec_id, d2, rank::INT AS rank FROM (
+      SELECT q_id, vec_id, d2,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY d2, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """
+)
+
+
+@q("ann_pq_adc_loaded", _ADC_LOADED_SQL)
+def ann_pq_adc_loaded(spark, sf):
+    """The PERSISTED-index ADC path under the oracle gate (the round-5
+    lifecycle's production query shape): train PQ codebooks on the
+    embeddings table, SAVE the index (codebooks → index.json, codes →
+    keyed LakeTable), LOAD it back, and score 8 queries by asymmetric
+    distance against the loaded codes — raw vectors never touched at
+    query time. Any drift across serialization (JSON float round-trip,
+    LakeTable codes round-trip, geometry re-derivation from the stored
+    codebooks, driver-side LUT rounding) breaks the hash vs the oracle's
+    in-SQL replay. Reference: PipelineWise has no ANN surface — this
+    gates the training-data-pipeline extension's index lifecycle."""
+    from pipelinewise_spark.functions import ann_index
+
+    idx = _scratch_table_dir("ann-pq-adc-loaded", sf)
+    emb = _t(spark, sf, "embeddings")
+    codes, cbs = ann_index.fit_pq_index(emb, m=4, sub_dim=16, k=8, iters=2)
+    ann_index.save_pq_index(idx, codes, cbs)
+    model = ann_index.load_pq_index(spark, idx)
+    q8 = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ann.pq_adc_topk(emb, q8, top_k=10, model=model)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window: the correctness harness snapshots exactly the FIRST
-# 50 registry rows (CORRECTNESS_r04 proved queries at positions 50+ get no
-# row). Every SURVEY §2 operator gate and every distinct LLM-pipeline
-# operator family must therefore sit inside the first 50; the five entries
-# moved to the tail here are DOCUMENTED BASELINES whose semantics are
-# fully covered by their scale-path variants that remain in the window:
+# GATE_WINDOW registry rows (CORRECTNESS_r04 proved queries at positions
+# 50+ get no row). Every SURVEY §2 operator gate and every distinct
+# LLM-pipeline operator family must therefore sit inside the first 50;
+# the entries moved to the tail here are DOCUMENTED BASELINES whose
+# semantics are fully covered by their scale-path variants that remain in
+# the window:
 #   dedup_token_jaccard   -> dedup_ngram_jaccard (verify stage) + minhash
 #   ann_similar_pairs     -> ann_lsh_banded_pairs (same threshold oracle)
 #   ann_lsh_similar_pairs -> ann_lsh_banded_pairs (OR-amplified variant)
 #   ann_lsh_topk          -> ann_cosine_topk (exact) + ann_ivf_topk
 #   ann_ivf_centroids     -> ann_ivf_kmeans_cells + ann_ivf_topk (same
 #                            trainer, richer assertions)
-# They stay registered (the judge still sees + can run them); they just
-# yield their correctness-artifact slots to the §2 gates.
+#   dedup_minhash_groups  -> dedup_minhash_lsh (same signatures, banded)
+#                            + dedup_components (clustering); moved r6 to
+#                            seat ann_pq_adc_loaded (the persisted-index
+#                            production path) inside the window
+# They stay registered AND oracle-checked (tests/test_oracle_parity.py
+# runs every ORACLES entry); they just yield their correctness-artifact
+# slots to the §2 gates. Ordering is insertion order — this block is the
+# ONE place that rearranges it, and the assertions below fail loudly if
+# a rename/addition ever breaks the contract.
+GATE_WINDOW = 50
 _TAIL_BASELINES = [
     "dedup_token_jaccard",
     "ann_similar_pairs",
     "ann_lsh_similar_pairs",
     "ann_lsh_topk",
     "ann_ivf_centroids",
+    "dedup_minhash_groups",
 ]
 for _name in _TAIL_BASELINES:
-    QUERIES[_name] = QUERIES.pop(_name)
-    if _name in ORACLES:
-        ORACLES[_name] = ORACLES.pop(_name)
+    if _name in QUERIES:  # guarded: a rename must not brick import
+        QUERIES[_name] = QUERIES.pop(_name)
+        if _name in ORACLES:
+            ORACLES[_name] = ORACLES.pop(_name)
+
+#: The first GATE_WINDOW names — what the driver's correctness artifact
+#: samples. tests/test_round6_features.py asserts the §2 gates live here.
+GATE_QUERIES = list(QUERIES)[:GATE_WINDOW]
+assert len(QUERIES) - len(_TAIL_BASELINES) == GATE_WINDOW, (
+    f"registry holds {len(QUERIES)} queries with {len(_TAIL_BASELINES)} "
+    f"tail baselines; the gate window is exactly {GATE_WINDOW} — adding a "
+    f"query means retiring one gate to the documented tail (or vice versa)"
+)
+assert not set(GATE_QUERIES) & set(_TAIL_BASELINES)

@@ -66,7 +66,9 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def warm_python_workers(spark: SparkSession) -> None:
+def warm_python_workers(
+    spark: SparkSession, *, data_source: bool = False
+) -> None:
     """Pre-spawn the Python worker pool before latency-sensitive work.
 
     The first Python-executed stage of a session (Python Data Source
@@ -77,7 +79,16 @@ def warm_python_workers(spark: SparkSession) -> None:
     to zero, but a bounded availableNow run eats it inside its first
     micro-batch; calling this first moves the one-off outside the
     measured/latency path. One tiny Arrow batch per core; workers are
-    reused afterward (spark.python.worker.reuse defaults true)."""
+    reused afterward (spark.python.worker.reuse defaults true).
+
+    ``data_source=True`` additionally warms the Python Data Source read
+    path, which keeps its OWN worker-module pool (pyspark.sql.worker.*
+    plan/read modules) that the mapInArrow ping does not touch — the
+    residual ~2 s first-drain premium measured in BENCH.md round 5. It
+    drains a throwaway 1-row LakeTable through the real ``laketable``
+    stream source; opt-in because it is only worth ~2 s to jobs whose
+    first real work IS a bounded feed drain (jobs/run_feed.py sets
+    it)."""
     import pyarrow  # noqa: F401  (fail here, loudly, not in executors)
 
     sc = spark.sparkContext
@@ -92,3 +103,37 @@ def warm_python_workers(spark: SparkSession) -> None:
     spark.range(n, numPartitions=n).mapInArrow(
         _touch, "id long"
     ).write.format("noop").mode("overwrite").save()
+    if data_source:
+        _warm_data_source_pool(spark)
+
+
+def _warm_data_source_pool(spark: SparkSession) -> None:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pipelinewise_spark.lake.stream_source import LakeTableStreamSource
+    from pipelinewise_spark.lake.table import LakeTable
+
+    spark.dataSource.register(LakeTableStreamSource)
+    base = tempfile.mkdtemp(prefix="pw-warm-ds-")
+    try:
+        t = LakeTable.create(
+            spark, _os.path.join(base, "t"),
+            StructType([StructField("id", LongType())]), ["id"],
+            num_buckets=1,
+        )
+        t.overwrite(spark.range(1))
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", t.path).option("startingVersion", 0).load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", _os.path.join(base, "ck"))
+            .trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
