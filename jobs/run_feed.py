@@ -19,7 +19,8 @@ and drives one of three consumers:
   ONLY the true delta against the saved codebooks/centroids, upsert,
   and propagate deletes (``functions/ann_index.append_*``/
   ``delete_*``). The index must already be fitted+saved by a batch job
-  — this maintains it.
+  — this maintains it; ``--retrain-on-drift`` additionally refits from
+  the source's live rows when the drift probe trips.
 
 Bounded runs (``--available-now``, default) drain what exists and exit 0;
 kill + rerun with the same --checkpoint resumes exactly. Omit it for a
@@ -57,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
                    default="auto",
                    help="index mode: which maintenance pair to run "
                         "(auto reads the kind from the index.json)")
+    p.add_argument("--retrain-on-drift", action="store_true",
+                   help="index mode: after the drain, if the drift probe "
+                        "trips (needs_retrain), refit the index from the "
+                        "source's live rows — same geometry, fresh "
+                        "codebooks/centroids, watermark carried forward")
+    p.add_argument("--drift-factor", type=float, default=2.0,
+                   help="needs_retrain threshold: retrain when the last "
+                        "delta's quantization error exceeds this multiple "
+                        "of the fit-time error (default 2.0)")
     p.add_argument("--max-bytes-per-partition", type=int, default=None)
     p.add_argument("--available-now", dest="available_now",
                    action="store_true", default=True)
@@ -216,17 +226,33 @@ def main(argv: list[str] | None = None) -> int:
 
         from pipelinewise_spark.functions import ann_index
 
-        doc = ann_index._load_doc_any(args.target)
-        # operator-facing drift report: retrain when the probe trips
-        print(json.dumps({
-            "index": args.target,
-            "kind": doc["kind"],
-            "feed_lsn_watermark": doc.get("feed_lsn_watermark"),
-            "fit_error": doc.get("fit_error"),
-            "last_delta_error": doc.get("last_delta_error"),
-            "last_delta_rows": doc.get("last_delta_rows"),
-            "needs_retrain": ann_index.needs_retrain(args.target),
-        }))
+        def report(extra=None):
+            doc = ann_index._load_doc_any(args.target)
+            # operator-facing drift report: retrain when the probe trips
+            print(json.dumps({
+                "index": args.target,
+                "kind": doc["kind"],
+                "feed_lsn_watermark": doc.get("feed_lsn_watermark"),
+                "fit_error": doc.get("fit_error"),
+                "last_delta_error": doc.get("last_delta_error"),
+                "last_delta_rows": doc.get("last_delta_rows"),
+                "needs_retrain": ann_index.needs_retrain(
+                    args.target, factor=args.drift_factor
+                ),
+                **(extra or {}),
+            }))
+
+        report()
+        if args.retrain_on_drift and ann_index.needs_retrain(
+            args.target, factor=args.drift_factor
+        ):
+            live = src.refresh().read().where(
+                F.col("_sdc_deleted_at").isNull()
+            ).select(*id_cols, args.vec_col)
+            ann_index.retrain_index(
+                spark, args.target, live, vec_col=args.vec_col
+            )
+            report(extra={"retrained": True})
     return 0
 
 

@@ -229,6 +229,58 @@ def _ivf_mse(
     return float(val) if val is not None else 0.0
 
 
+def retrain_index(
+    spark: SparkSession,
+    path: str,
+    corpus_df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Refit the index in place from the CURRENT corpus — the action
+    :func:`needs_retrain` calls for. Geometry (m/sub_dim/k) is derived
+    from the saved model so the retrained index answers the same
+    queries; ``iters`` comes from the saved params (default 2). The
+    re-save goes through the normal commit point (old snapshot kept as
+    the reader grace dir) and CARRIES THE FEED WATERMARK FORWARD: the
+    refit corpus already contains everything the feed delivered, so a
+    feed-driven maintainer (jobs/run_feed.py --retrain-on-drift)
+    resumes incrementing where it left off instead of re-absorbing
+    re-emits."""
+    from pipelinewise_spark.lake.table import LakeTable
+
+    doc = _load_doc_any(path)
+    iters = int((doc.get("params") or {}).get("iters", 2))
+    buckets = LakeTable(spark, _doc_codes_path(path, doc)).num_buckets
+    wm = doc.get("feed_lsn_watermark")
+    base = corpus_df.select(F.col(doc["id_col"]), F.col(vec_col))
+    if doc["kind"] == "pq":
+        codebooks = [
+            {int(c): [float(x) for x in v] for c, v in cb.items()}
+            for cb in doc["codebooks"]
+        ]
+        m, sub_dim = len(codebooks), len(next(iter(codebooks[0].values())))
+        k = max(len(cb) for cb in codebooks)
+        codes, cbs = fit_pq_index(
+            base, id_col=doc["id_col"], vec_col=vec_col, m=m,
+            sub_dim=sub_dim, k=k, iters=iters,
+        )
+        save_pq_index(
+            path, codes, cbs, id_col=doc["id_col"], num_buckets=buckets,
+            params=doc.get("params"), fit_df=base, vec_col=vec_col,
+        )
+    else:
+        k = len(doc["centroids"])
+        cells, cents = fit_ivf_index(
+            base, id_col=doc["id_col"], vec_col=vec_col, k=k, iters=iters,
+        )
+        save_ivf_index(
+            path, cells, cents, id_col=doc["id_col"], num_buckets=buckets,
+            params=doc.get("params"), fit_df=base, vec_col=vec_col,
+        )
+    if wm is not None:
+        _update_doc(path, feed_lsn_watermark=int(wm))
+
+
 def needs_retrain(path: str, factor: float = 2.0) -> bool:
     """Increments never retrain the codebooks/centroids — this probe
     says when a retrain IS warranted: the last delta's mean quantization

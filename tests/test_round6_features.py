@@ -351,6 +351,70 @@ def test_drift_probe_trips_and_resets(spark, tmp_path, kind):
     assert not ann_index.needs_retrain(idx, factor=2.0)
 
 
+@pytest.mark.parametrize("kind", ["pq", "ivf"])
+def test_retrain_on_drift_cli(spark, tmp_path, kind):
+    """--retrain-on-drift closes the loop: a feed full of drifted
+    vectors trips the probe during maintenance, the job refits from the
+    source's live rows (same geometry), the probe resets, and the feed
+    watermark survives the re-save."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import run_feed
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "corpus"), EMB_SCHEMA, ["vec_id"],
+        num_buckets=2, properties={"soft_delete": True},
+    )
+
+    def as_events(df, lsn0, op="I"):
+        return df.select(
+            (F.col("vec_id") + lsn0).alias("lsn"), F.lit(op).alias("op"),
+            "vec_id", "embedding",
+        )
+
+    merge_into(t, as_events(_emb(spark, n=40, seed=71), 0), batch_id=0,
+               soft_delete=True)
+    idx = str(tmp_path / kind)
+    base = t.read().select("vec_id", "embedding")
+    if kind == "pq":
+        codes, cbs = ann_index.fit_pq_index(base, m=2, sub_dim=8, k=4,
+                                            iters=2)
+        ann_index.save_pq_index(idx, codes, cbs, fit_df=base,
+                                params={"iters": 2})
+    else:
+        cells, cents = ann_index.fit_ivf_index(base, k=4, iters=2)
+        ann_index.save_ivf_index(idx, cells, cents, fit_df=base,
+                                 params={"iters": 2})
+    fit_err0 = ann_index._load_doc_any(idx)["fit_error"]
+    ann_index.set_feed_watermark(idx, 39)
+    v_fitted = t.refresh().version
+
+    # a batch of far-off-distribution vectors lands
+    merge_into(t, as_events(_emb(spark, n=10, seed=72, id0=300,
+                                 shift=10.0), 1000),
+               batch_id=1, soft_delete=True)
+    assert run_feed.main([
+        "--source", t.path, "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "index", "--target", idx,
+        "--starting-version", str(v_fitted), "--retrain-on-drift",
+        "--timeout-sec", "180",
+    ]) == 0
+
+    doc = ann_index._load_doc_any(idx)
+    assert not ann_index.needs_retrain(idx)
+    assert doc["fit_error"] > fit_err0  # fresh baseline over mixed corpus
+    assert "last_delta_error" not in doc  # reset by the refit
+    assert doc["feed_lsn_watermark"] == 1309  # carried across the re-save
+    if kind == "pq":
+        loaded, cbs2 = ann_index.load_pq_index(spark, idx)
+        assert len(cbs2) == 2 and len(next(iter(cbs2[0].values()))) == 8
+    else:
+        loaded, cents2 = ann_index.load_ivf_index(spark, idx)
+        assert len(cents2) == 4
+    assert loaded.count() == 50
+
+
 # ---------------------------------------------------------------------------
 # ivf_topk pretrained-path guards
 
