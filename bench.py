@@ -496,8 +496,11 @@ def run_default() -> dict:
     if scale > 1:
         from pipelinewise_spark.cdc.gen import generate_change_events
 
+        # cache key carries the workload params like the base path does,
+        # so changing PW_BENCH_CONVS/TURNS/UPDATES regenerates
         spath = os.path.join(
-            tempfile.gettempdir(), f"pw-bench-events-sf{SF}-x{scale}"
+            tempfile.gettempdir(),
+            f"pw-bench-events-sf{SF}-{N_CONVS}x{TURNS}+{N_UPDATES}-x{scale}",
         )
         if not os.path.exists(os.path.join(spath, "_SUCCESS")):
             generate_change_events(

@@ -64,9 +64,26 @@ def main(argv: list[str] | None = None) -> int:
                         "source's live rows — same geometry, fresh "
                         "codebooks/centroids, watermark carried forward")
     p.add_argument("--drift-factor", type=float, default=2.0,
-                   help="needs_retrain threshold: retrain when the last "
-                        "delta's quantization error exceeds this multiple "
-                        "of the fit-time error (default 2.0)")
+                   help="needs_retrain threshold: retrain when the "
+                        "rows-weighted delta quantization error exceeds "
+                        "this multiple of the fit-time error (default 2.0)")
+    p.add_argument("--drift-min-rows", type=int, default=1,
+                   help="needs_retrain guard: ignore the probe until this "
+                        "many delta rows accumulated since the last fit "
+                        "(set to a few thousand in production so one noisy "
+                        "vector cannot trigger a full-corpus retrain)")
+    p.add_argument("--no-feed-watermark", dest="feed_watermark",
+                   action="store_false", default=True,
+                   help="index mode: disable the re-emit watermark filter. "
+                        "REQUIRED when the source table's LSNs are not "
+                        "globally monotonic across commits (e.g. ingested "
+                        "from a multi-partition Kafka topic with "
+                        "filter_applied_lsn=False, where a lagging "
+                        "partition commits rows below an earlier commit's "
+                        "max LSN — the watermark would drop them). Costs "
+                        "O(touched-bucket) re-encodes per batch instead "
+                        "of O(delta); correctness is unaffected either "
+                        "way (re-encodes are same-content replaces)")
     p.add_argument("--max-bytes-per-partition", type=int, default=None)
     p.add_argument("--available-now", dest="available_now",
                    action="store_true", default=True)
@@ -184,15 +201,27 @@ def main(argv: list[str] | None = None) -> int:
             # re-emit filter: a CoW bucket rewrite RE-EMITS the whole
             # bucket into the feed, but unchanged rows keep their
             # ORIGINAL _lsn — the index's watermark drops them so each
-            # increment encodes O(true delta), not O(touched buckets)
-            wm = ann_index.feed_watermark(args.target)
+            # increment encodes O(true delta), not O(touched buckets).
+            # NULL _lsn rows (bulk overwrite()-loaded, no change event)
+            # always pass: they are genuinely new to the index. The
+            # whole filter is off under --no-feed-watermark (sources
+            # whose LSNs are not globally monotonic across commits).
+            wm = (ann_index.feed_watermark(args.target)
+                  if args.feed_watermark else None)
+            fresh = df
+            if wm is not None:
+                fresh = df.where(
+                    F.col("_lsn").isNull() | (F.col("_lsn") > wm)
+                )
+            # bulk rows fold as lsn -1: any real change event beats them
+            fresh = fresh.withColumn(
+                "_lsn", F.coalesce(F.col("_lsn"), F.lit(-1).cast("long"))
+            )
             folded = latest_per_key(
-                fold_batch(df.where(F.col("_lsn") > wm)),
-                id_cols, lsn_col="lsn",
+                fold_batch(fresh), id_cols, lsn_col="lsn"
             ).persist()
             try:
-                hi = folded.agg(F.max("lsn")).first()[0]
-                if hi is None:
+                if not folded.limit(1).count():
                     return  # batch was all re-emits: nothing new
                 live = folded.where(F.col("op") != "D").select(
                     *id_cols, args.vec_col
@@ -202,7 +231,11 @@ def main(argv: list[str] | None = None) -> int:
                 dead = folded.where(F.col("op") == "D").select(*id_cols)
                 if dead.limit(1).count():
                     delete(args.target, dead)
-                ann_index.set_feed_watermark(args.target, int(hi))
+                hi = folded.agg(F.max("lsn")).first()[0]
+                if args.feed_watermark and hi is not None and hi > (
+                    wm if wm is not None else -1
+                ):
+                    ann_index.set_feed_watermark(args.target, int(hi))
             finally:
                 folded.unpersist()
 
@@ -237,14 +270,16 @@ def main(argv: list[str] | None = None) -> int:
                 "last_delta_error": doc.get("last_delta_error"),
                 "last_delta_rows": doc.get("last_delta_rows"),
                 "needs_retrain": ann_index.needs_retrain(
-                    args.target, factor=args.drift_factor
+                    args.target, factor=args.drift_factor,
+                    min_rows=args.drift_min_rows,
                 ),
                 **(extra or {}),
             }))
 
         report()
         if args.retrain_on_drift and ann_index.needs_retrain(
-            args.target, factor=args.drift_factor
+            args.target, factor=args.drift_factor,
+            min_rows=args.drift_min_rows,
         ):
             live = src.refresh().read().where(
                 F.col("_sdc_deleted_at").isNull()

@@ -178,16 +178,36 @@ def _read_codes(
     return LakeTable(spark, _doc_codes_path(path, doc)).read().select(*cols)
 
 
+def _write_doc(path: str, doc: dict) -> None:
+    """THE commit protocol for ``index.json`` (every save/update goes
+    through here): write to a tmp file, atomic ``os.replace``."""
+    tmp = os.path.join(path, _INDEX_JSON + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(path, _INDEX_JSON))
+
+
 def _update_doc(path: str, **fields) -> None:
     """Atomically fold metadata fields (drift stats, feed watermark)
     into ``index.json``. Single-writer per index (module contract), so
     read-modify-replace is safe; the replace is atomic either way."""
     doc = _load_doc_any(path)
     doc.update(fields)
-    tmp = os.path.join(path, _INDEX_JSON + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-    os.replace(tmp, os.path.join(path, _INDEX_JSON))
+    _write_doc(path, doc)
+
+
+def _record_delta_stats(path: str, err: float, rows: int) -> None:
+    """Drift bookkeeping after an increment: the LAST delta's error (the
+    operator-visible number) plus a CUMULATIVE rows-weighted sum since
+    the last fit/retrain — a drain of many micro-batches must not let
+    its final in-distribution batch erase the drifted ones before it
+    (:func:`needs_retrain` reads the weighted mean)."""
+    doc = _load_doc_any(path)
+    doc["last_delta_error"] = err
+    doc["last_delta_rows"] = rows
+    doc["delta_error_sum"] = doc.get("delta_error_sum", 0.0) + err * rows
+    doc["delta_rows_sum"] = doc.get("delta_rows_sum", 0) + rows
+    _write_doc(path, doc)
 
 
 def _min_d2(sub, centroid_vecs) -> "F.Column":
@@ -249,9 +269,14 @@ def retrain_index(
     from pipelinewise_spark.lake.table import LakeTable
 
     doc = _load_doc_any(path)
-    iters = int((doc.get("params") or {}).get("iters", 2))
+    saved_params = doc.get("params") or {}
+    iters = int(saved_params.get("iters", 2))
     buckets = LakeTable(spark, _doc_codes_path(path, doc)).num_buckets
     wm = doc.get("feed_lsn_watermark")
+    # the watermark rides INSIDE the save's commit-point write: a crash
+    # anywhere leaves either the old doc (old watermark) or the new doc
+    # (watermark carried) — never a retrained index that forgot it
+    extra = {"feed_lsn_watermark": int(wm)} if wm is not None else None
     base = corpus_df.select(F.col(doc["id_col"]), F.col(vec_col))
     if doc["kind"] == "pq":
         codebooks = [
@@ -259,44 +284,55 @@ def retrain_index(
             for cb in doc["codebooks"]
         ]
         m, sub_dim = len(codebooks), len(next(iter(codebooks[0].values())))
-        k = max(len(cb) for cb in codebooks)
+        k = int(saved_params.get("k", max(len(cb) for cb in codebooks)))
         codes, cbs = fit_pq_index(
             base, id_col=doc["id_col"], vec_col=vec_col, m=m,
             sub_dim=sub_dim, k=k, iters=iters,
         )
         save_pq_index(
             path, codes, cbs, id_col=doc["id_col"], num_buckets=buckets,
-            params=doc.get("params"), fit_df=base, vec_col=vec_col,
+            params=saved_params, fit_df=base, vec_col=vec_col,
+            extra_fields=extra,
         )
     else:
-        k = len(doc["centroids"])
+        # prefer the TRAINED k from params: the saved centroid list only
+        # holds non-empty cells, so deriving k from its length would
+        # shrink the quantizer monotonically across retrains
+        k = int(saved_params.get("k", len(doc["centroids"])))
         cells, cents = fit_ivf_index(
             base, id_col=doc["id_col"], vec_col=vec_col, k=k, iters=iters,
         )
         save_ivf_index(
             path, cells, cents, id_col=doc["id_col"], num_buckets=buckets,
-            params=doc.get("params"), fit_df=base, vec_col=vec_col,
+            params=saved_params, fit_df=base, vec_col=vec_col,
+            extra_fields=extra,
         )
-    if wm is not None:
-        _update_doc(path, feed_lsn_watermark=int(wm))
 
 
-def needs_retrain(path: str, factor: float = 2.0) -> bool:
+def needs_retrain(
+    path: str, factor: float = 2.0, min_rows: int = 1
+) -> bool:
     """Increments never retrain the codebooks/centroids — this probe
-    says when a retrain IS warranted: the last delta's mean quantization
-    error (recorded by ``append_*`` into ``index.json``) exceeds
-    ``factor`` × the error measured over the fit corpus at save time.
-    Drifted data quantizes badly against stale codebooks, so rising
-    delta error is exactly the signal; a fresh fit+save resets both
-    numbers. Returns False when either number is missing (old index, or
-    saved without ``fit_df``). Reference analog: the resync-size guard
-    that flips PipelineWise from incremental to full resync
-    (pipelinewise/utils.py get_tables_size usage)."""
+    says when a retrain IS warranted: the rows-weighted mean
+    quantization error of ALL deltas since the last fit (accumulated by
+    ``append_*`` into ``index.json``; the weighted mean so a drain's
+    final in-distribution micro-batch cannot erase the drifted batches
+    before it) exceeds ``factor`` × the error measured over the fit
+    corpus at save time. Drifted data quantizes badly against stale
+    codebooks, so rising delta error is exactly the signal; a fresh
+    fit+save resets the stats. ``min_rows`` guards against a single
+    noisy vector triggering a full-corpus retrain — set it to a few
+    thousand in production (default 1 keeps small test fixtures
+    sensitive). Returns False when the baseline or stats are missing
+    (old index, or saved without ``fit_df``). Reference analog: the
+    resync-size guard that flips PipelineWise from incremental to full
+    resync (pipelinewise/utils.py get_tables_size usage)."""
     doc = _load_doc_any(path)
     fit_err = doc.get("fit_error")
-    delta_err = doc.get("last_delta_error")
-    if fit_err is None or delta_err is None:
+    n = doc.get("delta_rows_sum", 0)
+    if fit_err is None or n < max(min_rows, 1):
         return False
+    delta_err = doc["delta_error_sum"] / n
     if fit_err <= 0.0:
         return delta_err > 0.0
     return delta_err > factor * fit_err
@@ -331,6 +367,7 @@ def save_pq_index(
     params: dict | None = None,
     fit_df: DataFrame | None = None,
     vec_col: str = "embedding",
+    extra_fields: dict | None = None,
 ) -> None:
     """Persist a trained PQ index: codebooks (m dicts of cell→centroid,
     a few KB) to ``index.json``, the encoded corpus to the ``codes/``
@@ -342,7 +379,10 @@ def save_pq_index(
 
     Pass ``fit_df`` (the corpus the codebooks were trained on) to record
     its mean quantization error as the :func:`needs_retrain` drift
-    baseline — one extra scan. A re-save resets the drift stats."""
+    baseline — one extra scan. A re-save resets the drift stats.
+    ``extra_fields`` are folded into the doc BEFORE the commit-point
+    replace (so e.g. :func:`retrain_index` carries the feed watermark
+    atomically with the new model, no crash window)."""
     os.makedirs(path, exist_ok=True)
     old = _try_doc(path)
     codes_dir = _save_codes(path, codes, id_col, num_buckets)
@@ -357,10 +397,8 @@ def save_pq_index(
     }
     if fit_df is not None:
         doc["fit_error"] = _pq_mse(fit_df, codebooks, vec_col)
-    tmp = os.path.join(path, _INDEX_JSON + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-    os.replace(tmp, os.path.join(path, _INDEX_JSON))
+    doc.update(extra_fields or {})
+    _write_doc(path, doc)
     keep = {codes_dir}
     if old is not None:  # reader grace: see _cleanup_codes_dirs
         keep.add(old.get("codes_dir", _CODES_DIR))
@@ -412,11 +450,8 @@ def append_pq_codes(
     if applied:
         # drift probe: how badly does the DELTA quantize against the
         # saved (never-retrained) codebooks — see needs_retrain
-        _update_doc(
-            path,
-            last_delta_error=_pq_mse(new_df, codebooks, vec_col),
-            last_delta_rows=applied,
-        )
+        _record_delta_stats(path, _pq_mse(new_df, codebooks, vec_col),
+                            applied)
 
 
 def _delete_rows(path: str, doc: dict, ids_df: DataFrame) -> None:
@@ -498,11 +533,13 @@ def save_ivf_index(
     params: dict | None = None,
     fit_df: DataFrame | None = None,
     vec_col: str = "embedding",
+    extra_fields: dict | None = None,
 ) -> None:
     """Persist an IVF index: centroids (k·dim doubles) to
     ``index.json``, cell assignments to the ``codes/`` LakeTable.
     ``index.json`` is the commit point, as in :func:`save_pq_index`;
-    ``fit_df`` records the :func:`needs_retrain` drift baseline."""
+    ``fit_df`` records the :func:`needs_retrain` drift baseline and
+    ``extra_fields`` land atomically with the commit."""
     os.makedirs(path, exist_ok=True)
     old = _try_doc(path)
     codes_dir = _save_codes(path, cells, id_col, num_buckets)
@@ -517,10 +554,8 @@ def save_ivf_index(
         doc["fit_error"] = _ivf_mse(
             fit_df, [(c, v) for c, v in centroids], vec_col
         )
-    tmp = os.path.join(path, _INDEX_JSON + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-    os.replace(tmp, os.path.join(path, _INDEX_JSON))
+    doc.update(extra_fields or {})
+    _write_doc(path, doc)
     keep = {codes_dir}
     if old is not None:  # reader grace: see _cleanup_codes_dirs
         keep.add(old.get("codes_dir", _CODES_DIR))
@@ -577,11 +612,8 @@ def append_ivf_cells(
     )
     applied = _upsert_codes(path, doc, assigned, id_col)
     if applied:
-        _update_doc(
-            path,
-            last_delta_error=_ivf_mse(new_df, centroids, vec_col),
-            last_delta_rows=applied,
-        )
+        _record_delta_stats(path, _ivf_mse(new_df, centroids, vec_col),
+                            applied)
 
 
 def delete_ivf_cells(path: str, ids_df: DataFrame) -> None:

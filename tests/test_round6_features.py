@@ -263,6 +263,85 @@ def test_feed_watermark_filters_cow_reemits(spark, tmp_path):
     assert doc["last_delta_rows"] == 6
 
 
+def test_no_feed_watermark_flag_keeps_lagging_lsns(spark, tmp_path):
+    """--no-feed-watermark: a source whose LSNs are NOT globally
+    monotonic across commits (multi-partition Kafka ingested with
+    filter_applied_lsn=False) commits a lagging-partition insert whose
+    lsn sits BELOW the watermark an earlier drain recorded; the filter
+    would drop it forever, the opt-out keeps it."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import run_feed
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "corpus"), EMB_SCHEMA, ["vec_id"],
+        num_buckets=2, properties={"soft_delete": True},
+    )
+
+    def as_events(df, lsn0):
+        return df.select(
+            (F.col("vec_id") + lsn0).alias("lsn"), F.lit("I").alias("op"),
+            "vec_id", "embedding",
+        )
+
+    merge_into(t, as_events(_emb(spark, n=30, seed=81), 1000), batch_id=0,
+               soft_delete=True)
+    idx = str(tmp_path / "pq")
+    codes, cbs = ann_index.fit_pq_index(
+        t.read().select("vec_id", "embedding"), m=2, sub_dim=8, k=4, iters=2
+    )
+    ann_index.save_pq_index(idx, codes, cbs)
+    ann_index.set_feed_watermark(idx, 1029)  # fit covered lsn ≤ 1029
+    v_fitted = t.refresh().version
+
+    # lagging partition: a NEW vector arrives with lsn 50 < watermark
+    merge_into(t, as_events(_emb(spark, n=1, seed=82, id0=700), -650),
+               batch_id=1, soft_delete=True, filter_applied_lsn=False)
+    args = [
+        "--source", t.path, "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "index", "--target", idx,
+        "--starting-version", str(v_fitted), "--no-feed-watermark",
+        "--timeout-sec", "180",
+    ]
+    assert run_feed.main(args) == 0
+    loaded, _ = ann_index.load_pq_index(spark, idx)
+    assert loaded.where(F.col("vec_id") == 700).count() == 1
+    # and the watermark was left alone (filter disabled end-to-end)
+    assert ann_index.feed_watermark(idx) == 1029
+
+
+def test_bulk_loaded_null_lsn_rows_get_indexed(spark, tmp_path):
+    """overwrite()-loaded rows carry NULL _lsn in the feed; they must
+    pass the watermark filter (they are genuinely new to the index) and
+    must not move the watermark."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import run_feed
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "corpus"), EMB_SCHEMA, ["vec_id"],
+        num_buckets=2, properties={"soft_delete": True},
+    )
+    t.overwrite(_emb(spark, n=20, seed=91))
+    # index fitted on only HALF the bulk load — the drain must encode
+    # the rest even though every feed row has NULL _lsn
+    half = t.read().where(F.col("vec_id") < 10).select(
+        "vec_id", "embedding")
+    codes, cbs = ann_index.fit_pq_index(half, m=2, sub_dim=8, k=4, iters=2)
+    idx = str(tmp_path / "pq")
+    ann_index.save_pq_index(idx, codes, cbs)
+    assert run_feed.main([
+        "--source", t.path, "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "index", "--target", idx,
+        "--starting-version", "0", "--timeout-sec", "180",
+    ]) == 0
+    loaded, _ = ann_index.load_pq_index(spark, idx)
+    assert loaded.count() == 20
+    assert ann_index.feed_watermark(idx) == -1  # NULL rows can't advance it
+
+
 # ---------------------------------------------------------------------------
 # reader grace + vacuum
 
@@ -331,6 +410,14 @@ def test_drift_probe_trips_and_resets(spark, tmp_path, kind):
     # drifted delta: vectors 10 units off the fit distribution quantize
     # terribly against the stale model — probe trips
     append(idx, _emb(spark, n=20, seed=53, id0=2000, shift=10.0))
+    assert ann_index.needs_retrain(idx, factor=2.0)
+    # the min_rows guard holds it back until enough evidence accumulated
+    assert not ann_index.needs_retrain(idx, factor=2.0, min_rows=1000)
+
+    # a subsequent in-distribution batch must NOT erase the drifted
+    # evidence: the probe reads the rows-weighted mean since the last
+    # fit, not just the final batch
+    append(idx, _emb(spark, n=5, seed=54, id0=3000))
     assert ann_index.needs_retrain(idx, factor=2.0)
 
     # a fresh fit over the grown corpus resets the baseline
