@@ -221,7 +221,9 @@ def main(argv: list[str] | None = None) -> int:
                 fold_batch(fresh), id_cols, lsn_col="lsn"
             ).persist()
             try:
-                if not folded.limit(1).count():
+                # lsn is coalesced non-null above, so max()=None ⇔ empty
+                hi = folded.agg(F.max("lsn")).first()[0]
+                if hi is None:
                     return  # batch was all re-emits: nothing new
                 live = folded.where(F.col("op") != "D").select(
                     *id_cols, args.vec_col
@@ -231,8 +233,7 @@ def main(argv: list[str] | None = None) -> int:
                 dead = folded.where(F.col("op") == "D").select(*id_cols)
                 if dead.limit(1).count():
                     delete(args.target, dead)
-                hi = folded.agg(F.max("lsn")).first()[0]
-                if args.feed_watermark and hi is not None and hi > (
+                if args.feed_watermark and hi > (
                     wm if wm is not None else -1
                 ):
                     ann_index.set_feed_watermark(args.target, int(hi))
