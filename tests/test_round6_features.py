@@ -502,6 +502,55 @@ def test_retrain_on_drift_cli(spark, tmp_path, kind):
     assert loaded.count() == 50
 
 
+def test_status_cli(spark, tmp_path, capsys):
+    """jobs/status.py — the `pipelinewise status` analog: walks a lake
+    root and reports every table + index from manifests alone (no
+    SparkSession, no data scan)."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import status
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake" / "transcripts"), EMB_SCHEMA,
+        ["vec_id"], num_buckets=2, properties={"soft_delete": True},
+    )
+    merge_into(
+        t,
+        _emb(spark, n=25, seed=99).select(
+            F.col("vec_id").alias("lsn"), F.lit("I").alias("op"),
+            "vec_id", "embedding",
+        ),
+        batch_id=0, soft_delete=True, stream="s1",
+    )
+    codes, cbs = ann_index.fit_pq_index(
+        t.read().select("vec_id", "embedding"), m=2, sub_dim=8, k=4,
+        iters=2,
+    )
+    idx = str(tmp_path / "lake" / "idx" / "pq")
+    ann_index.save_pq_index(idx, codes, cbs, fit_df=t.read())
+    ann_index.set_feed_watermark(idx, 24)
+
+    assert status.main(["--root", str(tmp_path / "lake"), "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["tables"]) == 1  # the index's codes table folds away
+    tab = out["tables"][0]
+    assert tab["table"] == "transcripts"
+    assert tab["version"] == 1 and tab["keys"] == "vec_id"
+    assert tab["files"] == 2 and tab["bytes"] > 0
+    assert tab["last_metrics"]["inserted"] == 25
+    assert "s1" in tab["bookmarks"]
+    ix = out["indexes"][0]
+    assert ix["kind"] == "pq" and ix["feed_lsn_watermark"] == 24
+    assert ix["needs_retrain"] is False and ix["fit_error"] > 0
+
+    # the human table renders too (no SparkSession involved either way)
+    assert status.main(["--root", str(tmp_path / "lake")]) == 0
+    text = capsys.readouterr().out
+    assert "transcripts" in text and "1 table(s)" in text
+    assert "idx" in text and "1 index(es)" in text
+
+
 # ---------------------------------------------------------------------------
 # ivf_topk pretrained-path guards
 
