@@ -15,7 +15,10 @@ Cluster usage (north rule deployment shape):
 
 Modes:
 - ``stream``   bounded availableNow run over the change-log directory
-  (kill + rerun with the same --checkpoint resumes exactly);
+  (kill + rerun with the same --checkpoint resumes exactly); with
+  ``--continuous`` it keeps tailing on a processingTime trigger and
+  SIGTERM/SIGINT stop it cleanly (exit 0, checkpoint resumes — the
+  reference's ``stop_tap``);
 - ``replay``   batch replay of the whole event set in --batches chunks;
 - ``snapshot`` initial load from --snapshot parquet, bookmark at --lsn0.
 
@@ -53,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--transform-config", help="JSON file: transform-field mask list")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--continuous", action="store_true",
+                   help="mode=stream: keep tailing (processingTime "
+                        "trigger) instead of the bounded availableNow "
+                        "drain; SIGTERM/SIGINT stop the tap cleanly "
+                        "(exit 0, checkpoint resumes — the stop_tap "
+                        "analog)")
+    p.add_argument("--trigger-sec", type=float, default=2.0,
+                   help="--continuous micro-batch cadence (seconds)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -176,10 +187,23 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if not args.checkpoint:
             p.error("--checkpoint required for mode=stream")
-        pipe.run_file_stream(
-            args.events, args.checkpoint,
-            max_files_per_trigger=args.max_files_per_trigger,
-        )
+        if args.continuous:
+            from pipelinewise_spark.streaming.control import (
+                run_until_stopped,
+            )
+
+            q = pipe.run_file_stream(
+                args.events, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=False,
+                processing_time=f"{args.trigger_sec} seconds",
+            )
+            run_until_stopped(q)
+        else:
+            pipe.run_file_stream(
+                args.events, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         metrics = pipe.history
     print(json.dumps({
         "mode": args.mode,

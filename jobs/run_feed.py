@@ -250,7 +250,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
-    ok = q.awaitTermination(args.timeout_sec or None)
+    # stop_tap analog: SIGTERM/SIGINT on a continuous tail stops the
+    # query and exits 0 — rerun with the same checkpoint resumes; safe
+    # at any instant (bookmark commits atomically with the data)
+    from pipelinewise_spark.streaming.control import run_until_stopped
+
+    ok = run_until_stopped(q, timeout_sec=args.timeout_sec or None)
     if args.timeout_sec and not ok:
         q.stop()
         print("timed out waiting for the drain", file=sys.stderr)

@@ -551,6 +551,75 @@ def test_status_cli(spark, tmp_path, capsys):
     assert "idx" in text and "1 index(es)" in text
 
 
+def test_continuous_tail_graceful_stop(spark, tmp_path):
+    """run_cdc --continuous + SIGTERM = the reference's stop_tap: the
+    tail applies files as they land, the signal stops it with exit 0,
+    and a bounded rerun on the same checkpoint picks up files written
+    after the stop — nothing lost, nothing reapplied."""
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    from pipelinewise_spark.cdc.gen import generate_change_events
+
+    ev = generate_change_events(
+        spark, n_convs=12, turns_per_conv=2, n_updates=20, delete_pct=0
+    ).persist()
+    hi_lsn = ev.agg(F.max("lsn")).first()[0]
+    mid = hi_lsn // 2
+    events_dir = str(tmp_path / "events")
+    ev.where(F.col("lsn") <= mid).write.parquet(events_dir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    table_dir = str(tmp_path / "t")
+    env = dict(os.environ, PYTHONPATH=repo,
+               PYSPARK_SUBMIT_ARGS="--master local[2] pyspark-shell")
+    proc = subprocess.Popen(
+        [_sys.executable, os.path.join(repo, "jobs", "run_cdc.py"),
+         "--events", events_dir, "--table", table_dir,
+         "--checkpoint", str(tmp_path / "ck"), "--mode", "stream",
+         "--continuous", "--trigger-sec", "0.5", "--num-buckets", "4"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if LakeTable.exists(table_dir):
+                t = LakeTable(spark, table_dir)
+                bm = t.bookmarks.get("default", {}).get("lsn")
+                if bm == mid:
+                    break
+            assert proc.poll() is None, proc.stderr.read()[-2000:]
+            time.sleep(1)
+        else:
+            raise AssertionError("tail never applied the first file set")
+
+        # more files land while the tail is LIVE — it picks them up
+        ev.where(F.col("lsn") > mid).write.mode("append").parquet(events_dir)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            bm = LakeTable(spark, table_dir).bookmarks["default"]["lsn"]
+            if bm == hi_lsn:
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("tail never applied the appended files")
+
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+        ev.unpersist()
+    assert proc.returncode == 0, err[-2000:]
+    final = json.loads(out.strip().splitlines()[-1])
+    assert final["bookmarks"]["default"]["lsn"] == hi_lsn
+    assert LakeTable(spark, table_dir).read().count() == 24  # 12 convs x 2
+
+
 # ---------------------------------------------------------------------------
 # ivf_topk pretrained-path guards
 
