@@ -24,6 +24,11 @@ Modes:
 
 The table is created on first run from the transcript schema (or
 --append-only for a keyless append table).
+
+With ``--project <tap.yml>``, ``--sync-tables s1,s2 --snapshot <dir>
+--lsn0 N`` re-snapshots ONLY the named streams before streaming — the
+``pipelinewise sync_tables`` verb (selective full resync while the rest
+of the project keeps its incremental state).
 """
 
 from __future__ import annotations
@@ -56,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--transform-config", help="JSON file: transform-field mask list")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--sync-tables",
+                   help="--project mode: comma-separated stream names to "
+                        "RE-SNAPSHOT before streaming (the `pipelinewise "
+                        "sync_tables` verb, cli/pipelinewise.py:1382-1428): "
+                        "each selected stream is atomically overwritten "
+                        "from --snapshot/<stream>.parquet with its "
+                        "bookmark reset to --lsn0, other streams "
+                        "untouched; the tail then catches up from lsn0")
     p.add_argument("--continuous", action="store_true",
                    help="mode=stream: keep tailing (processingTime "
                         "trigger) instead of the bounded availableNow "
@@ -94,12 +107,17 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--project supports mode=stream only")
         for flag, name in ((args.transform_config, "--transform-config"),
                            (args.append_only, "--append-only"),
-                           (args.snapshot, "--snapshot")):
+                           (args.snapshot and not args.sync_tables,
+                            "--snapshot")):
             if flag:
                 p.error(f"{name} is incompatible with --project (the tap "
-                        "YAML declares transformations/keys per table)")
+                        "YAML declares transformations/keys per table; "
+                        "--snapshot is only meaningful with --sync-tables)")
         from pipelinewise_spark.config import build_project, load_tap_yaml
 
+        if args.sync_tables and (not args.snapshot or args.lsn0 is None):
+            p.error("--sync-tables requires --snapshot (dir holding "
+                    "<stream>.parquet per selected stream) and --lsn0")
         proj = build_project(
             spark,
             load_tap_yaml(args.project),
@@ -113,12 +131,31 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.num_buckets,
             soft_delete=bool(args.soft_delete),
         )
+        resynced = []
+        if args.sync_tables:
+            # sync_tables verb: atomically re-snapshot ONLY the selected
+            # streams (overwrite + lsn0 bookmark in one commit via
+            # initial_load); the stream run below catches them up from
+            # lsn0 while untouched streams keep their own bookmarks
+            import os as _os
+
+            for s in [x.strip() for x in args.sync_tables.split(",") if x.strip()]:
+                if s not in proj["tables"]:
+                    p.error(f"--sync-tables: unknown stream {s!r} "
+                            f"(project streams: {sorted(proj['tables'])})")
+                snap = _os.path.join(args.snapshot, f"{s}.parquet")
+                initial_load(
+                    proj["tables"][s], spark.read.parquet(snap),
+                    lsn0=args.lsn0, stream=s,
+                )
+                resynced.append(s)
         proj["pipeline"].run_file_stream(
             args.events, args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
         )
         print(json.dumps({
             "mode": "project",
+            "resynced": resynced,
             "streams": {
                 s: t.refresh().bookmarks.get(s)
                 for s, t in proj["tables"].items()

@@ -620,6 +620,73 @@ def test_continuous_tail_graceful_stop(spark, tmp_path):
     assert LakeTable(spark, table_dir).read().count() == 24  # 12 convs x 2
 
 
+def test_sync_tables_verb(spark, tmp_path):
+    """run_cdc --project --sync-tables = the reference's sync_tables:
+    ONLY the selected stream is atomically re-snapshotted (overwrite +
+    lsn0 bookmark in one commit); the other stream's table and bookmark
+    stay untouched."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import run_cdc
+
+    from pipelinewise_spark.cdc.gen import generate_change_events
+    from tests.test_project_config import TAP_YAML
+
+    tap = tmp_path / "tap.yml"
+    tap.write_text(TAP_YAML)
+    ev = generate_change_events(
+        spark, n_convs=5, turns_per_conv=2, n_updates=8, delete_pct=0,
+        stream="my_db-conversations",
+    ).unionByName(generate_change_events(
+        spark, n_convs=4, turns_per_conv=2, n_updates=6, delete_pct=0,
+        stream="my_db-audit",
+    ))
+    events_dir = str(tmp_path / "events")
+    ev.write.parquet(events_dir)
+    lake = str(tmp_path / "lake")
+    base_args = [
+        "--project", str(tap), "--table", lake,
+        "--events", events_dir, "--checkpoint", str(tmp_path / "ck"),
+        "--num-buckets", "4",
+    ]
+    assert run_cdc.main(base_args) == 0
+    conv = LakeTable(spark, f"{lake}/repl_my_db/conversations")
+    audit = LakeTable(spark, f"{lake}/repl_my_db/audit")
+    audit_ver = audit.version
+    assert conv.read().count() == 10 and audit.read().count() == 8
+
+    # authoritative snapshot for conversations only (sync_tables verb)
+    snap = spark.createDataFrame(
+        [("conv-r", i, "user", f"resynced {i}", None) for i in range(3)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1704067200)))
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    snap.write.parquet(str(snap_dir / "my_db-conversations.parquet"))
+
+    assert run_cdc.main(base_args + [
+        "--sync-tables", "my_db-conversations",
+        "--snapshot", str(snap_dir), "--lsn0", "5000",
+    ]) == 0
+    conv = conv.refresh()
+    assert conv.read().count() == 3
+    assert set(conv.read().select("text").toPandas()["text"]) == {
+        "resynced 0", "resynced 1", "resynced 2"
+    }
+    assert conv.bookmarks["my_db-conversations"]["lsn"] == 5000
+    # the OTHER stream is untouched (no new commit, same rows)
+    audit = audit.refresh()
+    assert audit.version == audit_ver and audit.read().count() == 8
+
+    # unknown stream name fails loudly
+    with pytest.raises(SystemExit):
+        run_cdc.main(base_args + [
+            "--sync-tables", "nope", "--snapshot", str(snap_dir),
+            "--lsn0", "1",
+        ])
+
+
 # ---------------------------------------------------------------------------
 # ivf_topk pretrained-path guards
 
