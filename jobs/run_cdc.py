@@ -118,9 +118,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.sync_tables and (not args.snapshot or args.lsn0 is None):
             p.error("--sync-tables requires --snapshot (dir holding "
                     "<stream>.parquet per selected stream) and --lsn0")
+        cfg = load_tap_yaml(args.project)
+        sync = [x.strip() for x in (args.sync_tables or "").split(",")
+                if x.strip()]
+        known = {
+            f"{s['source_schema']}-{t['table_name']}"
+            for s in cfg["schemas"] for t in s.get("tables", [])
+        }
+        if set(sync) - known:
+            # validated BEFORE build_project like every other usage error
+            # — wiring creates tables on disk
+            p.error(f"--sync-tables: unknown stream(s) "
+                    f"{sorted(set(sync) - known)} "
+                    f"(project streams: {sorted(known)})")
         proj = build_project(
             spark,
-            load_tap_yaml(args.project),
+            cfg,
             lake_root=args.table,
             # the built-in provider serves the engine's transcript payload
             # schema; tables whose key_properties fall outside it fail at
@@ -132,17 +145,14 @@ def main(argv: list[str] | None = None) -> int:
             soft_delete=bool(args.soft_delete),
         )
         resynced = []
-        if args.sync_tables:
+        if sync:
             # sync_tables verb: atomically re-snapshot ONLY the selected
             # streams (overwrite + lsn0 bookmark in one commit via
             # initial_load); the stream run below catches them up from
             # lsn0 while untouched streams keep their own bookmarks
             import os as _os
 
-            for s in [x.strip() for x in args.sync_tables.split(",") if x.strip()]:
-                if s not in proj["tables"]:
-                    p.error(f"--sync-tables: unknown stream {s!r} "
-                            f"(project streams: {sorted(proj['tables'])})")
+            for s in sync:
                 snap = _os.path.join(args.snapshot, f"{s}.parquet")
                 initial_load(
                     proj["tables"][s], spark.read.parquet(snap),
