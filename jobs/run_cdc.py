@@ -113,7 +113,9 @@ def main(argv: list[str] | None = None) -> int:
                 p.error(f"{name} is incompatible with --project (the tap "
                         "YAML declares transformations/keys per table; "
                         "--snapshot is only meaningful with --sync-tables)")
-        from pipelinewise_spark.config import build_project, load_tap_yaml
+        from pipelinewise_spark.config import (
+            build_project, load_tap_yaml, stream_ids,
+        )
 
         if args.sync_tables and (not args.snapshot or args.lsn0 is None):
             p.error("--sync-tables requires --snapshot (dir holding "
@@ -121,16 +123,61 @@ def main(argv: list[str] | None = None) -> int:
         cfg = load_tap_yaml(args.project)
         sync = [x.strip() for x in (args.sync_tables or "").split(",")
                 if x.strip()]
-        known = {
-            f"{s['source_schema']}-{t['table_name']}"
-            for s in cfg["schemas"] for t in s.get("tables", [])
-        }
+        # validated BEFORE build_project like every other usage error —
+        # wiring creates tables on disk; stream_ids() is build_project's
+        # own keying, so a passing name cannot KeyError after wiring
+        known = set(stream_ids(cfg))
         if set(sync) - known:
-            # validated BEFORE build_project like every other usage error
-            # — wiring creates tables on disk
             p.error(f"--sync-tables: unknown stream(s) "
                     f"{sorted(set(sync) - known)} "
                     f"(project streams: {sorted(known)})")
+        if sync:
+            import os as _os
+
+            # every snapshot file must exist up front: discovering a
+            # missing one after stream #1 was overwritten would leave a
+            # half-applied resync
+            missing = [
+                s for s in sync
+                if not _os.path.exists(
+                    _os.path.join(args.snapshot, f"{s}.parquet"))
+            ]
+            if missing:
+                p.error(f"--sync-tables: no snapshot parquet for "
+                        f"{missing} under {args.snapshot}")
+            # the checkpoint gap guard: the per-stream bookmark is the
+            # max lsn already consumed from the checkpointed log for
+            # that stream, so a snapshot OLDER than it (lsn0 <
+            # bookmark) would leave (lsn0, bookmark] permanently
+            # missing — those events live in files the streaming
+            # source already marked consumed and will never redeliver.
+            # Export the snapshot AFTER stopping the tap (lsn0 >= the
+            # stream's position), the reference's resync flow.
+            from pipelinewise_spark.lake.table import LakeTable as _LT
+
+            by_stream = {}
+            for sch in cfg["schemas"]:
+                for tb in sch.get("tables", []) or []:
+                    sid = f"{sch['source_schema']}-{tb['table_name']}"
+                    by_stream[sid] = _os.path.join(
+                        args.table, sch.get("target_schema")
+                        or sch["source_schema"], tb["table_name"],
+                    )
+            for s in sync:
+                if not _LT.exists(by_stream[s]):
+                    continue  # fresh table: nothing consumed yet
+                bm = (_LT(None, by_stream[s]).bookmarks
+                      .get(s, {}).get("lsn"))
+                if bm is not None and args.lsn0 < int(bm):
+                    p.error(
+                        f"--sync-tables {s}: --lsn0 {args.lsn0} is older "
+                        f"than the stream's applied position {bm}; events "
+                        f"in ({args.lsn0}, {bm}] were already consumed "
+                        f"from the checkpoint and would be lost. Export a "
+                        f"snapshot at/after the current position (stop "
+                        f"the tap first), or rebuild table+checkpoint "
+                        f"from scratch."
+                    )
         proj = build_project(
             spark,
             cfg,
@@ -159,10 +206,23 @@ def main(argv: list[str] | None = None) -> int:
                     lsn0=args.lsn0, stream=s,
                 )
                 resynced.append(s)
-        proj["pipeline"].run_file_stream(
-            args.events, args.checkpoint,
-            max_files_per_trigger=args.max_files_per_trigger,
-        )
+        if args.continuous:
+            from pipelinewise_spark.streaming.control import (
+                run_until_stopped,
+            )
+
+            q = proj["pipeline"].run_file_stream(
+                args.events, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=False,
+                processing_time=f"{args.trigger_sec} seconds",
+            )
+            run_until_stopped(q)
+        else:
+            proj["pipeline"].run_file_stream(
+                args.events, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
         print(json.dumps({
             "mode": "project",
             "resynced": resynced,
@@ -173,6 +233,9 @@ def main(argv: list[str] | None = None) -> int:
         }, default=str))
         return 0
 
+    if args.sync_tables:
+        p.error("--sync-tables requires --project (single-table resync "
+                "is mode=snapshot)")
     if LakeTable.exists(args.table):
         table = LakeTable(spark, args.table)
     else:

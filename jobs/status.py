@@ -13,13 +13,16 @@ the feed watermark and the drift probe's verdict.
 PURE driver-side: reads only manifests and ``os.path.getsize`` — no
 SparkSession, no data scan — so it answers instantly even on a lake
 whose tables hold terabytes (status cost scales with file COUNT, the
-same envelope as planning a query, not with data volume).
+same envelope as planning a query, not with data volume). Local /
+mounted filesystems only (it walks with ``os``): object-store lakes
+need their fuse mount or a driver-side variant; a URI root is rejected
+loudly rather than reported as an empty lake.
 
 Usage:
 
-    python jobs/status.py --root s3://bucket/lake          # all tables
-    python jobs/status.py --root /lake/transcripts         # one table
-    python jobs/status.py --root /lake --json              # machine-readable
+    python jobs/status.py --root /mnt/lake                 # all tables
+    python jobs/status.py --root /mnt/lake/transcripts     # one table
+    python jobs/status.py --root /mnt/lake --json          # machine-readable
 """
 
 from __future__ import annotations
@@ -144,16 +147,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="one JSON object (tables + indexes) on stdout")
     args = p.parse_args(argv)
 
+    if "://" in args.root:
+        p.error(f"{args.root}: object-store URIs are not walkable with "
+                f"os; point --root at a local/mounted path")
     root = os.path.abspath(args.root)
-    tables = [table_status(t, root) for t in find_tables(root)]
+    table_dirs = find_tables(root)
     index_dirs = find_indexes(root)
     # a PQ/IVF index's codes dir IS a LakeTable; fold it out of the
-    # table listing (it's reported through its index row)
-    idx_prefixes = tuple(os.path.relpath(i, root) for i in index_dirs)
-    tables = [
-        t for t in tables
-        if not t["table"].startswith(idx_prefixes or ("\0",))
+    # table listing BEFORE the per-table stat work (it's reported
+    # through its index row). Absolute-path containment with a
+    # separator boundary: `emb_legacy` must not fold under index `emb`,
+    # and a --root pointing AT an index folds its codes table too.
+    table_dirs = [
+        t for t in table_dirs
+        if not any(t == i or t.startswith(i + os.sep) for i in index_dirs)
     ]
+    tables = [table_status(t, root) for t in table_dirs]
     indexes = [index_status(i, root) for i in index_dirs]
 
     if args.as_json:

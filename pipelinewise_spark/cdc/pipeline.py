@@ -394,24 +394,31 @@ class MultiStreamPipeline:
             df.unpersist()
 
     def run_file_stream(self, events_path: str, checkpoint_dir: str, **kw):
+        """Same contract as :meth:`CdcPipeline.run_file_stream`:
+        ``available_now=True`` (default) drains and awaits; with
+        ``available_now=False`` + ``processing_time`` it starts a
+        continuous tail and returns the live query (caller awaits)."""
         spark = next(iter(self.pipelines.values())).table.spark
         from pyspark.sql import SparkSession  # noqa: F401
 
         schema = kw.pop("schema", None) or CHANGE_EVENT_SCHEMA
         fmt = kw.pop("fmt", "parquet")
+        available_now = kw.pop("available_now", True)
+        processing_time = kw.pop("processing_time", None)
         reader = spark.readStream.schema(schema)
         if kw.get("max_files_per_trigger"):
             reader = reader.option(
                 "maxFilesPerTrigger", kw["max_files_per_trigger"]
             )
         source = getattr(reader, fmt)(events_path)
-        query = (
-            source.writeStream.foreachBatch(
-                lambda df, bid: self.apply_batch(df, batch_id=bid)
-            )
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(kw.get("timeout_sec"))
+        writer = source.writeStream.foreachBatch(
+            lambda df, bid: self.apply_batch(df, batch_id=bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(kw.get("timeout_sec"))
         return query

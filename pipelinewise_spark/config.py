@@ -82,6 +82,18 @@ def _stream_id(source_schema: str, table: dict) -> str:
     return f"{source_schema}-{table['table_name']}"
 
 
+def stream_ids(cfg: dict) -> list[str]:
+    """Every stream id a :func:`build_project` call over ``cfg`` will
+    key its tables by — the ONE derivation (callers validating stream
+    selections, e.g. run_cdc --sync-tables, must use this rather than
+    re-deriving the format)."""
+    return [
+        _stream_id(s["source_schema"], t)
+        for s in cfg.get("schemas", [])
+        for t in s.get("tables", []) or []
+    ]
+
+
 def _transform_config(table: dict) -> list[dict]:
     """YAML ``transformations`` (column/type/when) → the transform-field
     JSON shape (field_id/type/when) the compiler takes — the same

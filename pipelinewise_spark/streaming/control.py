@@ -34,6 +34,7 @@ def run_until_stopped(
     signals=(signal.SIGTERM, signal.SIGINT),
     poll_sec: float = 1.0,
     timeout_sec: float | None = None,
+    stop_grace_sec: float = 60.0,
 ) -> bool:
     """Block until ``query`` terminates on its own (availableNow drain
     done), a signal asks for a clean stop, or ``timeout_sec`` expires.
@@ -41,7 +42,15 @@ def run_until_stopped(
     Returns True when the query terminated (own end OR signal-stop),
     False on timeout (caller decides whether to ``stop()`` and error).
     Must run on the main thread (CPython signal delivery rule); the
-    previous signal handlers are restored before returning."""
+    previous signal handlers are restored before returning.
+
+    The post-stop wait is bounded by ``stop_grace_sec``: if a wedged
+    micro-batch keeps the query from terminating, we return (and warn)
+    rather than block forever with the signal handlers still swallowing
+    every further SIGTERM — process exit tears the session down either
+    way, and the checkpoint makes that safe."""
+    import sys
+
     stop_requested = False
 
     def handler(signum, frame):
@@ -59,7 +68,12 @@ def run_until_stopped(
                 return True
             if stop_requested:
                 query.stop()
-                query.awaitTermination()
+                if not query.awaitTermination(stop_grace_sec):
+                    print(
+                        f"stream did not terminate within {stop_grace_sec}s "
+                        f"of stop(); exiting anyway (checkpoint resumes)",
+                        file=sys.stderr,
+                    )
                 return True
             if deadline is not None and time.monotonic() >= deadline:
                 return False

@@ -550,6 +550,27 @@ def test_status_cli(spark, tmp_path, capsys):
     assert "transcripts" in text and "1 table(s)" in text
     assert "idx" in text and "1 index(es)" in text
 
+    # name-prefix boundary: a TABLE named like an index dir + suffix
+    # must not fold away under it
+    LakeTable.create(
+        spark, str(tmp_path / "lake" / "idx" / "pq_legacy"), EMB_SCHEMA,
+        ["vec_id"], num_buckets=2,
+    )
+    assert status.main(["--root", str(tmp_path / "lake"), "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(t["table"] for t in out["tables"]) == [
+        "idx/pq_legacy", "transcripts"
+    ]
+
+    # --root pointing AT an index: its internal codes table folds too
+    assert status.main(["--root", idx, "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"] == [] and len(out["indexes"]) == 1
+
+    # object-store URIs are rejected loudly, not reported as empty
+    with pytest.raises(SystemExit):
+        status.main(["--root", "s3://bucket/lake"])
+
 
 def test_continuous_tail_graceful_stop(spark, tmp_path):
     """run_cdc --continuous + SIGTERM = the reference's stop_tap: the
@@ -576,13 +597,24 @@ def test_continuous_tail_graceful_stop(spark, tmp_path):
     table_dir = str(tmp_path / "t")
     env = dict(os.environ, PYTHONPATH=repo,
                PYSPARK_SUBMIT_ARGS="--master local[2] pyspark-shell")
+    # child output goes to FILES, not PIPEs: the long-lived JVM logs to
+    # stderr and an undrained 64KB pipe buffer would block the driver
+    # mid-run (flaky "never applied" failures)
+    out_f = open(tmp_path / "out.log", "w+")
+    err_f = open(tmp_path / "err.log", "w+")
     proc = subprocess.Popen(
         [_sys.executable, os.path.join(repo, "jobs", "run_cdc.py"),
          "--events", events_dir, "--table", table_dir,
          "--checkpoint", str(tmp_path / "ck"), "--mode", "stream",
          "--continuous", "--trigger-sec", "0.5", "--num-buckets", "4"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, stdout=out_f, stderr=err_f, text=True,
     )
+
+    def tail_err():
+        if not err_f.closed:
+            err_f.flush()
+        return (tmp_path / "err.log").read_text()[-2000:]
+
     try:
         deadline = time.time() + 240
         while time.time() < deadline:
@@ -591,7 +623,7 @@ def test_continuous_tail_graceful_stop(spark, tmp_path):
                 bm = t.bookmarks.get("default", {}).get("lsn")
                 if bm == mid:
                     break
-            assert proc.poll() is None, proc.stderr.read()[-2000:]
+            assert proc.poll() is None, tail_err()
             time.sleep(1)
         else:
             raise AssertionError("tail never applied the first file set")
@@ -608,13 +640,16 @@ def test_continuous_tail_graceful_stop(spark, tmp_path):
             raise AssertionError("tail never applied the appended files")
 
         proc.send_signal(signal.SIGTERM)
-        out, err = proc.communicate(timeout=120)
+        proc.wait(timeout=120)
     finally:
         if proc.poll() is None:
             proc.kill()
-            proc.communicate()
+            proc.wait()
         ev.unpersist()
-    assert proc.returncode == 0, err[-2000:]
+        out_f.close()
+        err_f.close()
+    assert proc.returncode == 0, tail_err()
+    out = (tmp_path / "out.log").read_text()
     final = json.loads(out.strip().splitlines()[-1])
     assert final["bookmarks"]["default"]["lsn"] == hi_lsn
     assert LakeTable(spark, table_dir).read().count() == 24  # 12 convs x 2
@@ -685,6 +720,65 @@ def test_sync_tables_verb(spark, tmp_path):
             "--sync-tables", "nope", "--snapshot", str(snap_dir),
             "--lsn0", "1",
         ])
+
+    # checkpoint-gap guard: a snapshot OLDER than the stream's applied
+    # position would lose (lsn0, bookmark] forever (those events were
+    # already consumed from the checkpoint) — refused, nothing modified
+    ver_before = conv.refresh().version
+    with pytest.raises(SystemExit):
+        run_cdc.main(base_args + [
+            "--sync-tables", "my_db-conversations",
+            "--snapshot", str(snap_dir), "--lsn0", "10",
+        ])
+    assert conv.refresh().version == ver_before
+
+    # a missing snapshot file for ANY selected stream is refused up
+    # front (not discovered after earlier streams were overwritten)
+    with pytest.raises(SystemExit):
+        run_cdc.main(base_args + [
+            "--sync-tables", "my_db-conversations,my_db-audit",
+            "--snapshot", str(snap_dir), "--lsn0", "6000",
+        ])
+    assert conv.refresh().version == ver_before
+
+
+def test_project_continuous_pipeline_query(spark, tmp_path):
+    """MultiStreamPipeline.run_file_stream(available_now=False) returns
+    a LIVE processingTime-trigger query (the --project --continuous
+    path) instead of silently doing a bounded drain."""
+    import time
+
+    from pipelinewise_spark.cdc.events import (
+        TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA,
+    )
+    from pipelinewise_spark.cdc.gen import generate_change_events
+    from pipelinewise_spark.cdc.pipeline import (
+        CdcPipeline, MultiStreamPipeline,
+    )
+
+    ev = generate_change_events(spark, n_convs=4, turns_per_conv=2,
+                                n_updates=4, delete_pct=0,
+                                stream="s1")
+    events_dir = str(tmp_path / "events")
+    ev.write.parquet(events_dir)
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                         TRANSCRIPT_KEY, num_buckets=2)
+    pipe = MultiStreamPipeline({"s1": CdcPipeline(t, stream="s1")})
+    q = pipe.run_file_stream(events_dir, str(tmp_path / "ck"),
+                             available_now=False,
+                             processing_time="1 seconds")
+    try:
+        assert q.isActive  # continuous: returned live, not drained+done
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if t.refresh().bookmarks.get("s1"):
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("continuous project tail never applied")
+    finally:
+        q.stop()
+    assert t.refresh().read().count() == 8
 
 
 # ---------------------------------------------------------------------------
