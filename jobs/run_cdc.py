@@ -35,7 +35,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python jobs/run_cdc.py` puts jobs/ (not the repo root) on sys.path;
+# under spark-submit --py-files the zip provides the package instead.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
                         "from --snapshot/<stream>.parquet with its "
                         "bookmark reset to --lsn0, other streams "
                         "untouched; the tail then catches up from lsn0")
+    p.add_argument("--secret",
+                   help="vault password file: decrypts !vault values in "
+                        "the --project YAML (the reference's --secret)")
+    p.add_argument("--pidfile",
+                   help="single-instance guard: refuse to start if the "
+                        "file names a live pid, else write ours and "
+                        "remove it on exit — the handle `pipelinewise "
+                        "stop_tap` signals (reference "
+                        "cli/pipelinewise.py:1386-1392)")
     p.add_argument("--continuous", action="store_true",
                    help="mode=stream: keep tailing (processingTime "
                         "trigger) instead of the bounded availableNow "
@@ -78,6 +94,40 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--trigger-sec", type=float, default=2.0,
                    help="--continuous micro-batch cadence (seconds)")
     args = p.parse_args(argv)
+
+    if args.pidfile:
+        import atexit
+        import os as _os
+
+        if _os.path.exists(args.pidfile):
+            other = None
+            alive = False
+            try:
+                with open(args.pidfile) as fh:
+                    other = int(fh.read().strip() or 0)
+                _os.kill(other, 0)  # raises if dead
+                alive = True
+            except (ValueError, ProcessLookupError):
+                pass  # stale — reclaim below
+            except PermissionError:
+                alive = True  # pid exists under another uid
+            if alive:
+                print(
+                    f"another instance (pid {other}) already holds "
+                    f"{args.pidfile}", file=sys.stderr,
+                )
+                return 1
+            _os.unlink(args.pidfile)
+        with open(args.pidfile, "w") as fh:
+            fh.write(str(_os.getpid()))
+
+        def _release(path=args.pidfile):
+            try:
+                _os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+        atexit.register(_release)
 
     from pyspark.sql import SparkSession
 
@@ -120,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.sync_tables and (not args.snapshot or args.lsn0 is None):
             p.error("--sync-tables requires --snapshot (dir holding "
                     "<stream>.parquet per selected stream) and --lsn0")
-        cfg = load_tap_yaml(args.project)
+        cfg = load_tap_yaml(args.project, args.secret)
         sync = [x.strip() for x in (args.sync_tables or "").split(",")
                 if x.strip()]
         # validated BEFORE build_project like every other usage error —

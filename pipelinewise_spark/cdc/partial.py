@@ -1,0 +1,127 @@
+"""Partial sync: ranged re-export → merge → ranged vanish-delete.
+
+The reference's ``partial_sync_table`` verb re-exports one column range
+of a table and reconciles the target against it
+(``fastsync/partialsync/utils.py:36-78``): load the range into a temp
+table, MERGE temp→target on the PK, then delete target rows inside the
+range that the export no longer contains
+(``fastsync/commons/target_snowflake.py:425-445``,
+``partial_hard_delete``). Rows outside the range are untouched.
+
+Spark shape: the export is already a DataFrame (``sources/jdbc.py``
+``range_reader``, or any bounded read); vanished keys come from ONE
+left-anti join of the target's ranged slice against the export on the
+key columns — file-stats pruning keeps that slice scan to the files
+whose footer bounds overlap the range, and the upsert+delete apply as a
+single change batch through the standard bucket-pruned merge (one
+atomic commit, not the reference's merge-then-delete two-step).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipelinewise_spark.cdc.merge import merge_into
+from pipelinewise_spark.lake.table import LakeTable
+
+
+def partial_sync(
+    table: LakeTable,
+    export: DataFrame,
+    *,
+    column: str,
+    start: Any,
+    end: Any,
+    stream: str = "default",
+    lsn: int | None = None,
+    batch_id: Any = None,
+    soft_delete: bool | None = None,
+    hard_delete: bool = True,
+    **merge_kw,
+) -> dict:
+    """Reconcile ``table`` against ``export`` (the source's current rows
+    with ``column BETWEEN start AND end``) and return the merge metrics.
+
+    ``export`` must carry the table's payload columns (missing ones
+    surface as the usual null-backfill). It is trusted to BE the range:
+    rows outside ``[start, end]`` are rejected loudly rather than
+    silently widening the delete window.
+
+    ``lsn`` stamps the batch; default is the stream's committed bookmark
+    + 1 so the events pass the replay filter (a bulk resync is by
+    definition newer than everything applied). ``hard_delete=False``
+    skips the vanish-delete (merge-only, the reference's
+    ``--hard-delete off`` target shape)."""
+    if column not in export.columns:
+        raise ValueError(f"export is missing the range column {column!r}")
+    if not table.key_cols:
+        raise ValueError("partial_sync requires a keyed table (PK merge)")
+    out_of_range = export.where(
+        ~F.col(column).between(F.lit(start), F.lit(end))
+        | F.col(column).isNull()
+    ).limit(1)
+    if out_of_range.count() > 0:
+        raise ValueError(
+            f"export contains rows outside [{start!r}, {end!r}] on "
+            f"{column!r}; refusing a delete window wider than the export"
+        )
+    if lsn is None:
+        lsn = int(table.bookmarks.get(stream, {}).get("lsn", 0) or 0) + 1
+
+    keys = list(table.key_cols)
+    data = set(table.data_cols)
+    fields = [f for f in table.logical_schema.fields if f.name in data]
+    missing_keys = [k for k in keys if k not in export.columns]
+    if missing_keys:
+        raise ValueError(f"export is missing key columns {missing_keys}")
+    upserts = export.select(
+        *[
+            (
+                F.col(f.name)
+                if f.name in export.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in fields
+        ],
+        F.lit("U").alias("op"),
+        F.lit(lsn).cast("long").alias("lsn"),
+    )
+
+    batch = upserts
+    if hard_delete:
+        # target's live rows inside the range, keys only; file-stats
+        # pruning when the table has no outstanding deltas to resolve
+        try:
+            tgt = table.read(stats_filter={column: (start, end)})
+        except ValueError:
+            tgt = table.to_df()
+        tgt_range = tgt.where(F.col(column).between(F.lit(start), F.lit(end)))
+        gone = tgt_range.select(*keys).join(
+            export.select(*keys), on=keys, how="left_anti"
+        )
+        deletes = gone.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in keys
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in fields
+            ],
+            F.lit("D").alias("op"),
+            F.lit(lsn).cast("long").alias("lsn"),
+        )
+        batch = upserts.unionByName(deletes)
+
+    return merge_into(
+        table,
+        batch,
+        stream=stream,
+        batch_id=batch_id,
+        soft_delete=soft_delete,
+        pipeline_id=merge_kw.pop("pipeline_id", f"partial-{stream}"),
+        **merge_kw,
+    )

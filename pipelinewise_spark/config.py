@@ -13,9 +13,13 @@ returns reader SPECS for each table's replication method so the caller
 can bind live connections where they exist (JDBC / Kafka / files) — the
 sandbox has no live databases, so specs are data, not connections.
 
-Not supported (loudly): vault-encrypted values (``!vault`` — decrypt
-before handing the file over) and connector types outside the engine's
-source surface.
+Vault-encrypted values (``!vault`` inline scalars or a whole-file
+envelope) decrypt at load time when the caller passes the project's
+vault password file — the reference's ``load_yaml(file, vault_secret)``
+(``cli/utils.py:174-210``), served here by
+:mod:`pipelinewise_spark.vault`. Without a secret, encrypted input
+still fails loudly rather than flowing downstream as ciphertext.
+Connector types outside the engine's source surface are rejected.
 """
 
 from __future__ import annotations
@@ -52,26 +56,72 @@ _JDBC_URL = {
 REPLICATION_METHODS = ("LOG_BASED", "INCREMENTAL", "FULL_TABLE")
 
 
-def load_tap_yaml(path_or_text: str) -> dict:
-    """Parse a tap YAML. A single-line argument is treated as a PATH
-    (missing → FileNotFoundError, not a misleading parse error — the CLI
-    always passes a path); multi-line input parses as literal YAML text
-    (test fixtures). Rejects vault-encrypted scalars explicitly — the
-    reference decrypts them with the project's master password
-    (``cli/config.py``), which this engine does not hold."""
+def _vault_loader(password: str):
+    """A SafeLoader subclass whose ``!vault`` constructor decrypts the
+    tagged scalar with ``password`` — the same YAML surface ansible's
+    ``AnsibleLoader`` gives the reference (``cli/utils.py:202``)."""
     import yaml
+
+    from pipelinewise_spark import vault as _vault
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    def _construct(loader, node):
+        return _vault.decrypt_text(loader.construct_scalar(node), password)
+
+    _Loader.add_constructor("!vault", _construct)
+    return _Loader
+
+
+def load_yaml(path_or_text: str, vault_secret: str | None = None) -> Any:
+    """Parse a project YAML file (any shape). A single-line argument is
+    treated as a PATH (missing → FileNotFoundError, not a misleading
+    parse error — the CLI always passes a path); multi-line input parses
+    as literal YAML text (test fixtures).
+
+    ``vault_secret`` is the path to the vault password file (the
+    reference's ``--secret``): with it, ``!vault``-tagged scalars — and
+    a whole-file vault envelope — decrypt in place; without it,
+    encrypted input fails loudly rather than flowing downstream as
+    ciphertext."""
+    import yaml
+
+    from pipelinewise_spark import vault as _vault
 
     if "\n" not in path_or_text:
         with open(path_or_text) as fh:  # raises FileNotFoundError cleanly
             text = fh.read()
     else:
         text = path_or_text
-    if "!vault" in text:
-        raise ValueError(
-            "vault-encrypted values are not supported; decrypt the "
-            "project file before loading it"
-        )
-    cfg = yaml.safe_load(text)
+    password = (
+        _vault.load_secret_file(vault_secret) if vault_secret else None
+    )
+    if _vault.is_vault(text):
+        if password is None:
+            raise ValueError(
+                "project file is vault-encrypted; pass the vault password "
+                "file (--secret)"
+            )
+        text = _vault.decrypt_text(text, password)
+    if password is not None:
+        return yaml.load(text, Loader=_vault_loader(password))
+    try:
+        return yaml.safe_load(text)
+    except yaml.constructor.ConstructorError as e:
+        # the ONLY unknown tag we translate: a real !vault scalar (a
+        # "!vault" inside a comment or quoted string is fine)
+        if "!vault" in str(e):
+            raise ValueError(
+                "project file contains vault-encrypted values; pass the "
+                "vault password file (--secret) to decrypt them"
+            ) from e
+        raise
+
+
+def load_tap_yaml(path_or_text: str, vault_secret: str | None = None) -> dict:
+    """:func:`load_yaml` + the tap-config shape check."""
+    cfg = load_yaml(path_or_text, vault_secret)
     if not isinstance(cfg, dict) or "schemas" not in cfg:
         raise ValueError("not a PipelineWise tap config (no 'schemas' key)")
     return cfg

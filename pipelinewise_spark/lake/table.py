@@ -946,6 +946,57 @@ class LakeTable:
             summary={**(summary or {}), "operation": "overwrite"},
         )
 
+    def reset_state(
+        self,
+        *,
+        bookmarks: dict,
+        clear_pipelines: list[str] | tuple | str = (),
+    ) -> dict:
+        """Rewind stream bookmarks — the ``pipelinewise reset_state``
+        verb (reference ``cli/pipelinewise.py:1861-1873``: overwrite the
+        state file's log position so the next run replays from there,
+        e.g. after a primary switchover).
+
+        ``bookmarks`` maps stream → bookmark fields to SET (e.g.
+        ``{"s": {"lsn": 1}}``); unlike :meth:`commit`, the values here
+        may move BACKWARD — that is the point. ``clear_pipelines`` also
+        empties those pipelines' applied-batch-id replay guards (and
+        their eviction counters): a rewound stream reruns from a fresh
+        checkpoint whose batch ids restart at 0, and stale applied ids
+        would silently no-op the replayed batches. Pass the string
+        ``"*"`` to clear EVERY pipeline's guard — the rewind-then-replay
+        contract rarely cares which internal pipeline id wrote the
+        guard, and a stale guard under any id no-ops the replay.
+        Metadata-only atomic commit; no data files are touched — the
+        replayed events re-merge idempotently through the normal
+        path."""
+        m = dict(self.manifest)
+        bms = dict(m["bookmarks"])
+        for stream, bm in bookmarks.items():
+            bms[stream] = {**bms.get(stream, {}), **bm}
+        abi = {k: list(v) for k, v in m["applied_batch_ids"].items()}
+        evicted = dict(m.get("batch_ids_evicted", {}))
+        if clear_pipelines == "*":
+            clear_pipelines = sorted(set(abi) | set(evicted))
+        for pid in clear_pipelines:
+            abi.pop(pid, None)
+            evicted.pop(pid, None)
+        m.update(
+            version=self.version + 1,
+            created_at=time.time(),
+            bookmarks=bms,
+            applied_batch_ids=abi,
+            batch_ids_evicted=evicted,
+            summary={
+                "operation": "reset_state",
+                "bookmarks": bookmarks,
+                "cleared_pipelines": sorted(clear_pipelines),
+            },
+        )
+        self._publish_manifest(m, set(), overwrite_all=False)
+        self.manifest = m
+        return m
+
     # ------------------------------------------------------------ evolution
 
     def evolve(self, actions: list[dict]) -> dict:
