@@ -21,6 +21,10 @@ partial_sync_table     ranged re-export → merge + vanish-delete (J6)
 run_tap                delegate → jobs/run_cdc.py (args forwarded verbatim)
 sync_tables            selective full resync of named streams, then tail
 stop_tap               SIGTERM the pid in a run_tap --pidfile, wait for exit
+compact                fold MoR deltas / rewrite long bucket chains (engine
+                       extension — the lake's background optimize job)
+vacuum                 GC unreferenced files + superseded manifests; with
+                       --indexes, stale ANN codes snapshots (engine ext.)
 =====================  =======================================================
 
 Spark-free verbs (init/validate/import/encrypt_string/status/
@@ -477,6 +481,82 @@ def cmd_stop_tap(args) -> int:
     return 1
 
 
+def _target_tables(args) -> list[str] | None:
+    """--table (one) or --root (walk) → table paths; None + stderr on
+    a usage/shape error."""
+    if bool(args.table) == bool(args.root):
+        print("exactly one of --table / --root is required", file=sys.stderr)
+        return None
+    from pipelinewise_spark.lake.table import LakeTable
+
+    if args.table:
+        if not LakeTable.exists(args.table):
+            print(f"not a LakeTable: {args.table}", file=sys.stderr)
+            return None
+        return [args.table]
+    from jobs.status import find_tables
+
+    tables = find_tables(args.root)
+    if not tables:
+        print(f"no LakeTables under {args.root}", file=sys.stderr)
+    return tables
+
+
+def cmd_compact(args) -> int:
+    """Background optimize (no reference verb — warehouse targets
+    compact themselves; a lake target must do it explicitly): fold
+    merge-on-read deltas into the base and rewrite buckets whose file
+    chains grew past --max-files-per-bucket. File-count-only compaction
+    runs shuffle-free via the clustered bucket scan."""
+    from pipelinewise_spark.lake.table import LakeTable
+
+    tables = _target_tables(args)
+    if tables is None:
+        return 1
+    spark = _get_spark("pipelinewise-spark-compact")
+    out = []
+    for path in tables:
+        t = LakeTable(spark, path)
+        m = t.compact(args.max_files_per_bucket)
+        out.append({
+            "table": path,
+            "compacted": m is not None,
+            **({"metrics": m.get("summary", m)} if isinstance(m, dict) else {}),
+        })
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Garbage-collect unreferenced data files, stale write temps, and
+    superseded manifests (Spark-free — pure manifest/filesystem walk).
+    --indexes also drops ANN indexes' superseded codes snapshots,
+    including the reader-grace dir a re-save keeps; only use it when no
+    query job older than the last re-save can still be running."""
+    from pipelinewise_spark.lake.table import LakeTable
+
+    tables = _target_tables(args)
+    if tables is None:
+        return 1
+    out = []
+    for path in tables:
+        res = LakeTable(None, path).vacuum(
+            keep_versions=args.keep_versions, min_age_sec=args.min_age_sec
+        )
+        out.append({"table": path, **res})
+    indexes = []
+    if args.indexes and args.root:
+        from jobs.status import find_indexes
+        from pipelinewise_spark.functions.ann_index import vacuum_index
+
+        for ix in find_indexes(args.root):
+            vacuum_index(ix)
+            indexes.append(ix)
+    print(json.dumps({"tables": out, "vacuumed_indexes": indexes},
+                     default=str))
+    return 0
+
+
 # ------------------------------------------------------------------ parser
 
 
@@ -613,6 +693,33 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pidfile", required=True)
     s.add_argument("--timeout", type=float, default=60.0)
     s.set_defaults(fn=cmd_stop_tap)
+
+    s = sub.add_parser(
+        "compact",
+        help="fold MoR deltas + rewrite over-long bucket chains "
+             "(the background optimize job)",
+    )
+    s.add_argument("--table", help="one LakeTable path")
+    s.add_argument("--root", help="lake root: compact every table under it")
+    s.add_argument("--max-files-per-bucket", type=int, default=1)
+    s.set_defaults(fn=cmd_compact)
+
+    s = sub.add_parser(
+        "vacuum",
+        help="GC unreferenced files / temps / superseded manifests "
+             "(Spark-free)",
+    )
+    s.add_argument("--table", help="one LakeTable path")
+    s.add_argument("--root", help="lake root: vacuum every table under it")
+    s.add_argument("--keep-versions", type=int, default=1)
+    s.add_argument("--min-age-sec", type=float, default=3600.0,
+                   help="grace period protecting in-flight writers; 0 "
+                        "only when no other writer can be active")
+    s.add_argument("--indexes", action="store_true",
+                   help="with --root: also drop ANN indexes' superseded "
+                        "codes snapshots (breaks readers older than the "
+                        "last re-save)")
+    s.set_defaults(fn=cmd_vacuum)
 
     return p
 

@@ -363,6 +363,41 @@ def test_reset_state_clear_all_pipelines(spark, tmp_path):
     assert t.bookmarks["s1"]["lsn"] == 10
 
 
+# --------------------------------------- compact / vacuum (maintenance)
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path, capsys):
+    root = tmp_path / "lake"
+    path = str(root / "t_maint")
+    t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
+    merge_into(t, _mk_events(spark, [("c1", 0, "I", 1), ("c2", 0, "I", 2)]),
+               stream="s1", batch_id=0, mode="mor")
+    merge_into(t, _mk_events(spark, [("c1", 0, "U", 3)]),
+               stream="s1", batch_id=1, mode="mor")
+    assert any(fl for fl in t.manifest.get("deltas", {}).values())
+
+    # compact via --root walk: folds the deltas into the base
+    assert _cli(["compact", "--root", str(root)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out[0]["table"] == path and out[0]["compacted"]
+    t.refresh()
+    assert not any(fl for fl in t.manifest.get("deltas", {}).values())
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in t.read().collect()}
+    assert rows == {("c1", 0): "t-c1-0-3", ("c2", 0): "t-c2-0-2"}
+
+    # vacuum (Spark-free): superseded manifests + unreferenced files go
+    assert _cli(["vacuum", "--table", path, "--min-age-sec", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tables"][0]["removed_manifests"] > 0
+    assert t.refresh().read().count() == 2
+
+    # usage errors: both/neither of --table/--root
+    assert _cli(["vacuum", "--table", path, "--root", str(root)]) == 1
+    assert _cli(["vacuum"]) == 1
+    assert _cli(["compact", "--table", str(tmp_path / "nope")]) == 1
+
+
 # --------------------------------------------- partial sync (end-to-end)
 
 
