@@ -274,7 +274,9 @@ def _tcp_probe(host: str, port: int, timeout: float = 3.0) -> str | None:
     try:
         with socket.create_connection((host, int(port)), timeout=timeout):
             return None
-    except OSError as e:
+    except (OSError, ValueError, TypeError) as e:
+        # ValueError/TypeError: non-numeric port from the YAML — the
+        # verb's contract is a clean per-stream FAIL row, not a traceback
         return str(e)
 
 
@@ -319,7 +321,7 @@ def cmd_test_tap_connection(args) -> int:
                         why = f"bad bootstrap server {s!r}"
                         break
                     h, prt = s.rsplit(":", 1)
-                    why = _tcp_probe(h, int(prt), args.timeout)
+                    why = _tcp_probe(h, prt, args.timeout)
                     if why is None:
                         break  # one reachable broker is enough
                 rows.append((sid, "FAIL" if why else "ok",
@@ -404,12 +406,6 @@ def _coerce(v: str):
     return v
 
 
-def cmd_run_tap(args) -> int:
-    from jobs.run_cdc import main as run_cdc_main
-
-    return run_cdc_main(args.args)
-
-
 def cmd_sync_tables(args) -> int:
     """``pipelinewise sync_tables`` (reference
     ``cli/pipelinewise.py:1382-1428``): atomically re-snapshot ONLY the
@@ -455,6 +451,10 @@ def cmd_stop_tap(args) -> int:
     try:
         with open(args.pidfile) as fh:
             pid = int(fh.read().strip())
+        # 0 / negative would SIGTERM our own (or an arbitrary) process
+        # GROUP — corrupt pidfile, never a tap
+        if pid <= 0:
+            raise ValueError(pid)
     except (FileNotFoundError, ValueError):
         print(f"no running tap ({args.pidfile} missing or empty)", file=sys.stderr)
         return 1
@@ -535,6 +535,12 @@ def cmd_vacuum(args) -> int:
     query job older than the last re-save can still be running."""
     from pipelinewise_spark.lake.table import LakeTable
 
+    if args.indexes and not args.root:
+        # silently skipping would leave the operator believing the codes
+        # snapshots were cleaned
+        print("--indexes requires --root (indexes are discovered by "
+              "walking the lake root)", file=sys.stderr)
+        return 1
     tables = _target_tables(args)
     if tables is None:
         return 1
@@ -659,15 +665,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "the exported range")
     s.set_defaults(fn=cmd_partial_sync_table)
 
-    # run_tap forwards its whole tail to run_cdc.py verbatim — handled
-    # in main() before argparse (argparse.REMAINDER no longer consumes
-    # leading options reliably); this parser entry exists for --help.
-    s = sub.add_parser(
-        "run_tap", help="run the CDC pipeline (forwards to jobs/run_cdc.py)"
+    # run_tap forwards its whole tail to run_cdc.py verbatim — ALWAYS
+    # handled in main() before argparse (argparse.REMAINDER no longer
+    # consumes leading options reliably; `run_tap -h/--help` prints
+    # run_cdc's real help). This entry exists only so the verb shows in
+    # this parser's listing — it can never be parsed.
+    sub.add_parser(
+        "run_tap", add_help=False,
+        help="run the CDC pipeline (forwards to jobs/run_cdc.py; "
+             "`run_tap -h` for its options)",
     )
-    s.add_argument("args", nargs="*",
-                   help="arguments for run_cdc.py, verbatim")
-    s.set_defaults(fn=cmd_run_tap)
 
     s = sub.add_parser(
         "sync_tables",
@@ -727,7 +734,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
-    if argv and argv[0] == "run_tap" and argv[1:2] != ["-h"]:
+    if argv and argv[0] == "run_tap":
         from jobs.run_cdc import main as run_cdc_main
 
         return run_cdc_main(list(argv[1:]))

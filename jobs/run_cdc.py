@@ -105,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 with open(args.pidfile) as fh:
                     other = int(fh.read().strip() or 0)
+                if other <= 0:
+                    # empty/corrupt file: pid 0 would signal OUR OWN
+                    # process group and always "succeed" — stale, reclaim
+                    raise ValueError(other)
                 _os.kill(other, 0)  # raises if dead
                 alive = True
             except (ValueError, ProcessLookupError):

@@ -50,26 +50,40 @@ def partial_sync(
     rows outside ``[start, end]`` are rejected loudly rather than
     silently widening the delete window.
 
-    ``lsn`` stamps the batch; default is the stream's committed bookmark
-    + 1 so the events pass the replay filter (a bulk resync is by
-    definition newer than everything applied). ``hard_delete=False``
-    skips the vanish-delete (merge-only, the reference's
-    ``--hard-delete off`` target shape)."""
+    ``lsn`` stamps the batch; default is the table's bookmark
+    high-water mark + 1 — the MAX over ALL streams' bookmarks, not just
+    ``stream``'s (a bulk resync is by definition newer than everything
+    applied, and a ``stream`` name that doesn't match the one the CDC
+    pipeline writes under must not produce an lsn below the stored
+    ``_lsn`` values, where every upsert/delete would silently classify
+    as stale). ``hard_delete=False`` skips the vanish-delete
+    (merge-only, the reference's ``--hard-delete off`` target
+    shape)."""
     if column not in export.columns:
         raise ValueError(f"export is missing the range column {column!r}")
     if not table.key_cols:
         raise ValueError("partial_sync requires a keyed table (PK merge)")
+    # One consistent snapshot: the export is read three times (range
+    # check, upserts, anti-join) — uncached, a live JDBC source would be
+    # re-queried each time and a concurrent upstream delete could emit
+    # the same key as both U and D at the same lsn (nondeterministic
+    # fold). Cache pins the snapshot AND saves the repeated source scans.
+    export = export.cache()
     out_of_range = export.where(
         ~F.col(column).between(F.lit(start), F.lit(end))
         | F.col(column).isNull()
     ).limit(1)
     if out_of_range.count() > 0:
+        export.unpersist()
         raise ValueError(
             f"export contains rows outside [{start!r}, {end!r}] on "
             f"{column!r}; refusing a delete window wider than the export"
         )
     if lsn is None:
-        lsn = int(table.bookmarks.get(stream, {}).get("lsn", 0) or 0) + 1
+        lsn = max(
+            (int(bm.get("lsn", 0) or 0) for bm in table.bookmarks.values()),
+            default=0,
+        ) + 1
 
     keys = list(table.key_cols)
     data = set(table.data_cols)
@@ -93,10 +107,13 @@ def partial_sync(
     batch = upserts
     if hard_delete:
         # target's live rows inside the range, keys only; file-stats
-        # pruning when the table has no outstanding deltas to resolve
+        # pruning when the table has no outstanding deltas to resolve.
+        # TypeError: string CLI bounds vs int file stats (e.g. a date
+        # string on a timestamp column whose stats are epoch-µs) — the
+        # row-level between() below still applies, only pruning is lost
         try:
             tgt = table.read(stats_filter={column: (start, end)})
-        except ValueError:
+        except (ValueError, TypeError):
             tgt = table.to_df()
         tgt_range = tgt.where(F.col(column).between(F.lit(start), F.lit(end)))
         gone = tgt_range.select(*keys).join(
@@ -116,12 +133,15 @@ def partial_sync(
         )
         batch = upserts.unionByName(deletes)
 
-    return merge_into(
-        table,
-        batch,
-        stream=stream,
-        batch_id=batch_id,
-        soft_delete=soft_delete,
-        pipeline_id=merge_kw.pop("pipeline_id", f"partial-{stream}"),
-        **merge_kw,
-    )
+    try:
+        return merge_into(
+            table,
+            batch,
+            stream=stream,
+            batch_id=batch_id,
+            soft_delete=soft_delete,
+            pipeline_id=merge_kw.pop("pipeline_id", f"partial-{stream}"),
+            **merge_kw,
+        )
+    finally:
+        export.unpersist()

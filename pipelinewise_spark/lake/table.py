@@ -976,7 +976,15 @@ class LakeTable:
             bms[stream] = {**bms.get(stream, {}), **bm}
         abi = {k: list(v) for k, v in m["applied_batch_ids"].items()}
         evicted = dict(m.get("batch_ids_evicted", {}))
-        if clear_pipelines == "*":
+        if isinstance(clear_pipelines, str):
+            if clear_pipelines != "*":
+                # iterating a plain string would pop per-CHARACTER guard
+                # ids and leave the real one intact — the silent-no-op
+                # replay this method exists to prevent
+                raise ValueError(
+                    f"clear_pipelines must be a list of pipeline ids or "
+                    f"'*', got the string {clear_pipelines!r}"
+                )
             clear_pipelines = sorted(set(abi) | set(evicted))
         for pid in clear_pipelines:
             abi.pop(pid, None)

@@ -162,8 +162,11 @@ def format_ciphertext_yaml(
 
 
 def load_secret_file(path: str) -> str:
-    """Read a vault password file the way ansible's file secret does:
-    whole file, trailing newline stripped."""
+    """Read a vault password file the way ansible's ``FileVaultSecret``
+    does: whole file, ALL surrounding whitespace stripped (its
+    ``load`` → ``read_file`` → ``.strip()``) — a password file with a
+    stray trailing space must derive the same key stock ansible-vault
+    derives from it."""
     with open(path, "rb") as fh:
         data = fh.read()
-    return data.decode("utf-8").rstrip("\r\n")
+    return data.decode("utf-8").strip()

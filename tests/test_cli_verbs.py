@@ -440,6 +440,44 @@ def test_partial_sync_merges_and_deletes_vanished(spark, tmp_path):
     assert t.bookmarks["s1"]["lsn"] > 5
 
 
+def test_partial_sync_stream_mismatch_still_applies(spark, tmp_path):
+    """Default lsn is the MAX over ALL bookmarks + 1: a --stream name
+    that doesn't match the one the CDC pipeline wrote under must not
+    stamp an lsn below the stored _lsn (where every upsert/delete would
+    silently classify as stale and the sync would no-op with exit 0)."""
+    path = str(tmp_path / "t_partial_mismatch")
+    t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
+    merge_into(t, _mk_events(spark, [("a", 1, "I", 1000), ("a", 2, "I", 1001)]),
+               stream="my_db-users", batch_id=0)
+    export = spark.createDataFrame(
+        [("a", 1, "rewritten")], "conv_id string, turn_idx int, text string"
+    )
+    res = partial_sync(t, export, column="turn_idx", start=1, end=3)
+    assert res["updated"] == 1 and res["deleted"] == 1
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.to_df().collect()}
+    assert got == {("a", 1): "rewritten"}
+
+
+def test_partial_sync_string_bounds_on_timestamp_column(spark, tmp_path):
+    """String CLI bounds against a timestamp column: stats pruning is
+    skipped (int stats vs str bounds → TypeError), the row-level
+    between() still reconciles correctly instead of crashing."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t_partial_ts")
+    t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
+    merge_into(t, _mk_events(spark, [("a", 1, "I", 1), ("a", 2, "I", 2)]),
+               stream="s1", batch_id=0)
+    export = (
+        spark.createDataFrame(
+            [("a", 1, "updated")], "conv_id string, turn_idx int, text string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2026-01-15 00:00:00")))
+    )
+    res = partial_sync(t, export, column="ts",
+                       start="2026-01-01", end="2026-02-01", stream="s1")
+    assert res["updated"] == 1
+
+
 def test_partial_sync_rejects_out_of_range_export(spark, tmp_path):
     path = str(tmp_path / "t_partial2")
     t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
@@ -568,3 +606,50 @@ def test_stop_tap_terminates_pidfile_process(tmp_path):
     pf.write_text(str(child.pid))
     assert _cli(["stop_tap", "--pidfile", str(pf)]) == 1
     assert not pf.exists()
+
+
+def test_pidfile_zero_and_empty_are_stale_not_self_signals(tmp_path):
+    """pid 0 targets the caller's OWN process group: os.kill(0, 0)
+    always 'succeeds' and SIGTERM would kill the CLI and its shell —
+    both verbs must treat 0/empty/negative as corrupt, never signal."""
+    from jobs.run_cdc import main as run_cdc_main
+
+    # stop_tap: '0' pidfile -> clean error, no SIGTERM storm
+    pf = tmp_path / "z.pid"
+    for content in ("0", "-5", ""):
+        pf.write_text(content)
+        assert _cli(["stop_tap", "--pidfile", str(pf)]) == 1
+
+    # run_cdc: an empty pidfile is STALE (reclaimed + overwritten with
+    # our pid), not a live "pid 0" refusing startup forever; the run
+    # itself then dies on the bogus events path — irrelevant here
+    pf.write_text("")
+    try:
+        run_cdc_main(["--table", str(tmp_path / "t"), "--mode", "replay",
+                      "--events", str(tmp_path / "no-events"),
+                      "--pidfile", str(pf)])
+    except BaseException:
+        pass
+    assert pf.read_text() == str(os.getpid())
+
+
+def test_reset_state_rejects_plain_string_pipelines(spark, tmp_path):
+    path = str(tmp_path / "t_reset_str")
+    t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
+    merge_into(t, _mk_events(spark, [("c1", 0, "I", 1)]),
+               stream="s1", batch_id=0, pipeline_id="p1")
+    with pytest.raises(ValueError, match="list of pipeline ids"):
+        t.reset_state(bookmarks={"s1": {"lsn": 0}}, clear_pipelines="p1")
+    assert t.refresh().applied_batch_ids("p1") == {0}  # untouched
+
+
+def test_vault_secret_file_strips_like_ansible(tmp_path):
+    p = tmp_path / "pass"
+    p.write_bytes(b"  s3cret \n")
+    assert vault.load_secret_file(str(p)) == "s3cret"
+
+
+def test_vacuum_indexes_requires_root(tmp_path, spark):
+    path = str(tmp_path / "t_vx")
+    LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
+    assert _cli(["vacuum", "--table", path, "--indexes"]) == 1
