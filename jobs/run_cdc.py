@@ -175,6 +175,12 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--sync-tables requires --snapshot (dir holding "
                     "<stream>.parquet per selected stream) and --lsn0")
         cfg = load_tap_yaml(args.project, args.secret)
+        # alert wiring fails FAST (a typo'd alert_handlers block must
+        # fail here, not at the 3 a.m. failure it was supposed to
+        # report) — reference cli/pipelinewise.py:97
+        from pipelinewise_spark.alerts import AlertSender
+
+        alert_sender = AlertSender(cfg.get("alert_handlers"))
         sync = [x.strip() for x in (args.sync_tables or "").split(",")
                 if x.strip()]
         # validated BEFORE build_project like every other usage error —
@@ -260,23 +266,34 @@ def main(argv: list[str] | None = None) -> int:
                     lsn0=args.lsn0, stream=s,
                 )
                 resynced.append(s)
-        if args.continuous:
-            from pipelinewise_spark.streaming.control import (
-                run_until_stopped,
-            )
+        try:
+            if args.continuous:
+                from pipelinewise_spark.streaming.control import (
+                    run_until_stopped,
+                )
 
-            q = proj["pipeline"].run_file_stream(
-                args.events, args.checkpoint,
-                max_files_per_trigger=args.max_files_per_trigger,
-                available_now=False,
-                processing_time=f"{args.trigger_sec} seconds",
-            )
-            run_until_stopped(q)
-        else:
-            proj["pipeline"].run_file_stream(
-                args.events, args.checkpoint,
-                max_files_per_trigger=args.max_files_per_trigger,
-            )
+                q = proj["pipeline"].run_file_stream(
+                    args.events, args.checkpoint,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                    available_now=False,
+                    processing_time=f"{args.trigger_sec} seconds",
+                )
+                run_until_stopped(q)
+            else:
+                proj["pipeline"].run_file_stream(
+                    args.events, args.checkpoint,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                )
+        except Exception as exc:
+            # reference pipelinewise.py:1304-1317: '<tap_id> tap failed'
+            # to every handler, tap-level send_alert: false opts out;
+            # send failures surface on stderr, the REAL error re-raises
+            if cfg.get("send_alert", True) and alert_sender.handlers:
+                alert_sender.send_to_all_handlers(
+                    message=f"{cfg.get('id', 'tap')} tap failed", exc=exc,
+                    tap_slack_channel=cfg.get("slack_alert_channel"),
+                )
+            raise
         print(json.dumps({
             "mode": "project",
             "resynced": resynced,

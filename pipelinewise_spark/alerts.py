@@ -1,0 +1,233 @@
+"""Alert dispatch on pipeline failure — the reference's alert subsystem
+(``cli/alert_sender.py:30-150`` AlertSender; handlers
+``cli/alert_handlers/slack_alert_handler.py:19-71`` and
+``victorops_alert_handler.py:21-77``; fired on tap failure at
+``cli/pipelinewise.py:1304-1317`` with ``{tap_id} tap failed``).
+
+Same config surface (the project YAML's ``alert_handlers`` mapping, the
+tap-level ``send_alert: false`` opt-out and ``slack_alert_channel``
+routing), same handler semantics, re-implemented over stdlib
+``urllib`` — the sandbox carries neither the slack SDK nor requests,
+and an alert path with zero extra dependencies is what you want on a
+bare Spark driver anyway:
+
+- ``slack``: Slack Web API ``chat.postMessage`` (public HTTP API,
+  Bearer token) with the reference's message shape — exception text as
+  a code block, the alert message as a colored attachment title, an
+  optional per-tap extra channel.
+- ``victorops``: JSON POST to ``<base_url>/<routing_key>`` with
+  ``message_type`` / ``entity_display_name`` / ``state_message`` —
+  byte-compatible with the reference's payload; non-200 raises.
+- ``webhook`` (engine extension): the whole alert as one JSON POST to
+  ``url`` — the generic shape for anything with an inbound webhook.
+
+Divergence, on purpose: :meth:`AlertSender.send_to_all_handlers`
+catches per-handler SEND failures and reports them in the returned
+counts instead of letting the first broken webhook mask the pipeline
+error that triggered the alert (an unattended 3 a.m. failure must
+still surface the REAL exception). Config-shape errors still raise at
+construction/dispatch time — fail fast at wiring, degrade gracefully
+at send.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.error
+import urllib.request
+
+# alert levels (base_alert_handler.py:12-16)
+LOG = "log"
+INFO = "info"
+WARNING = "warning"
+ERROR = "error"
+
+_SLACK_COLORS = {LOG: "36C5F0", INFO: "good", WARNING: "warning",
+                 ERROR: "danger"}
+_VICTOROPS_TYPES = {LOG: "INFO", INFO: "INFO", WARNING: "WARNING",
+                    ERROR: "CRITICAL"}
+
+SLACK_API_URL = "https://slack.com/api/chat.postMessage"
+
+
+class InvalidAlertHandlerError(ValueError):
+    """Bad handler config (missing keys, wrong shapes)."""
+
+
+class NotImplementedAlertHandlerError(ValueError):
+    """Handler type with no registered implementation."""
+
+
+def _post_json(url: str, payload: dict, *, headers: dict | None = None,
+               timeout: float = 10.0) -> tuple[int, str]:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload, default=str).encode("utf-8"),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read().decode("utf-8", "replace")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode("utf-8", "replace")
+
+
+class SlackAlertHandler:
+    """``chat.postMessage`` with the reference's message shape
+    (``slack_alert_handler.py:42-71``): ```` ```exc``` ```` as text, the
+    message as a level-colored attachment title, duplicated to
+    ``tap_slack_channel`` when given."""
+
+    def __init__(self, config: dict | None) -> None:
+        if not config or "token" not in config:
+            raise InvalidAlertHandlerError("Missing token in Slack connection")
+        if "channel" not in config:
+            raise InvalidAlertHandlerError("Missing channel in Slack connection")
+        self.token = config["token"]
+        self.channel = config["channel"]
+        #: test/proxy override; the public endpoint by default
+        self.api_url = config.get("api_url", SLACK_API_URL)
+
+    def send(self, message: str, level: str = ERROR,
+             exc: BaseException | None = None,
+             tap_slack_channel: str | None = None) -> None:
+        channels = [self.channel]
+        if tap_slack_channel:
+            channels.append(tap_slack_channel)
+        for channel in channels:
+            status, body = _post_json(
+                self.api_url,
+                {
+                    "channel": channel,
+                    "text": f"```{exc}```" if exc else None,
+                    "attachments": [
+                        {"color": _SLACK_COLORS.get(level, _SLACK_COLORS[ERROR]),
+                         "title": message}
+                    ],
+                },
+                headers={"Authorization": f"Bearer {self.token}"},
+            )
+            if status != 200:
+                raise ValueError(
+                    f"slack chat.postMessage returned {status}: {body[:200]}"
+                )
+
+
+class VictoropsAlertHandler:
+    """JSON POST to ``<base_url>/<routing_key>``
+    (``victorops_alert_handler.py:42-77``); non-200 raises."""
+
+    def __init__(self, config: dict | None) -> None:
+        if not config or "base_url" not in config:
+            raise InvalidAlertHandlerError(
+                "Missing REST Endpoint URL in VictorOps connection"
+            )
+        if "routing_key" not in config:
+            raise InvalidAlertHandlerError(
+                "Missing routing key in VictorOps connection"
+            )
+        self.base_url = config["base_url"]
+        self.routing_key = config["routing_key"]
+
+    def send(self, message: str, level: str = ERROR,
+             exc: BaseException | None = None, **_) -> None:
+        status, body = _post_json(
+            f"{self.base_url}/{self.routing_key}",
+            {
+                "message_type": _VICTOROPS_TYPES.get(
+                    level, _VICTOROPS_TYPES[ERROR]),
+                "entity_display_name": message,
+                "state_message": str(exc) if exc is not None else None,
+            },
+        )
+        if status != 200:
+            raise ValueError(
+                f"Request to victorops returned an error {status}. {body[:200]}"
+            )
+
+
+class WebhookAlertHandler:
+    """Engine extension: the whole alert as one JSON document to
+    ``url`` — ``{"message", "level", "exc"}``."""
+
+    def __init__(self, config: dict | None) -> None:
+        if not config or "url" not in config:
+            raise InvalidAlertHandlerError("Missing url in webhook connection")
+        self.url = config["url"]
+
+    def send(self, message: str, level: str = ERROR,
+             exc: BaseException | None = None, **_) -> None:
+        status, body = _post_json(
+            self.url,
+            {"message": message, "level": level,
+             "exc": str(exc) if exc is not None else None},
+        )
+        if status >= 300:
+            raise ValueError(f"webhook returned {status}: {body[:200]}")
+
+
+_HANDLERS = {
+    "slack": SlackAlertHandler,
+    "victorops": VictoropsAlertHandler,
+    "webhook": WebhookAlertHandler,
+}
+
+
+class AlertSender:
+    """Dispatch one alert to every configured handler
+    (``alert_sender.py:30-150``). Handler configs are validated at
+    CONSTRUCTION (a typo'd alert_handlers block should fail the wiring
+    step, not the 3 a.m. failure it was supposed to report); network
+    sends are attempted independently per handler."""
+
+    def __init__(self, alert_handlers: dict | None = None) -> None:
+        if alert_handlers is None:
+            alert_handlers = {}
+        if not isinstance(alert_handlers, dict):
+            raise InvalidAlertHandlerError(
+                "alert_handlers needs to be a dictionary"
+            )
+        self.handlers: dict[str, object] = {}
+        for kind, config in alert_handlers.items():
+            try:
+                cls = _HANDLERS[kind]
+            except KeyError:
+                raise NotImplementedAlertHandlerError(
+                    f"Alert handler type not implemented: {kind}"
+                ) from None
+            self.handlers[kind] = cls(config)
+
+    def send_to_handler(self, kind: str, message: str, level: str = ERROR,
+                        exc: BaseException | None = None,
+                        tap_slack_channel: str | None = None) -> bool:
+        handler = self.handlers.get(kind)
+        if handler is None:
+            raise InvalidAlertHandlerError(
+                f"Alert handler type not configured: {kind}"
+            )
+        if kind == "slack":
+            handler.send(message=message, level=level, exc=exc,
+                         tap_slack_channel=tap_slack_channel)
+        else:
+            handler.send(message=message, level=level, exc=exc)
+        return True
+
+    def send_to_all_handlers(self, message: str, level: str = ERROR,
+                             exc: BaseException | None = None,
+                             tap_slack_channel: str | None = None) -> dict:
+        """Returns ``{"sent": n_ok, "failed": n_failed}``; per-handler
+        send failures go to stderr instead of masking the pipeline
+        error the alert is about."""
+        sent = failed = 0
+        for kind in self.handlers:
+            try:
+                self.send_to_handler(kind, message, level, exc,
+                                     tap_slack_channel)
+                sent += 1
+            except Exception as send_exc:  # noqa: BLE001 — see module doc
+                failed += 1
+                print(f"alert handler {kind!r} failed: {send_exc}",
+                      file=sys.stderr)
+        return {"sent": sent, "failed": failed}

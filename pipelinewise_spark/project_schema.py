@@ -126,6 +126,28 @@ TAP_SCHEMA = {
         "target": {"type": "string", "minLength": 1},
         "db_conn": {"type": "object"},
         "batch_size_rows": {"type": "integer", "minimum": 1},
+        # failure alerting (reference: alert_handlers in config.yml,
+        # send_alert/slack_alert_channel per tap — one YAML here)
+        "send_alert": {"type": "boolean"},
+        "slack_alert_channel": {"type": "string", "minLength": 1},
+        "alert_handlers": {
+            "type": "object",
+            "properties": {
+                "slack": {
+                    "type": "object",
+                    "required": ["token", "channel"],
+                },
+                "victorops": {
+                    "type": "object",
+                    "required": ["base_url", "routing_key"],
+                },
+                "webhook": {
+                    "type": "object",
+                    "required": ["url"],
+                },
+            },
+            "additionalProperties": False,
+        },
         "schemas": {
             "type": "array",
             "minItems": 1,
