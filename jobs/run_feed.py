@@ -12,7 +12,12 @@ and drives one of three consumers:
   (tests/test_replication_chain.py proves convergence; this is the same
   wiring as a CLI).
 - ``export``   append the raw feed to a parquet directory (training-data
-  export tail; downstream consumers fold by ``_lsn``).
+  export tail; downstream consumers fold by ``_lsn``) — or, with
+  ``--export-format csv``, headered CSV files (optionally gzip) under
+  the target path: the reference's ``target-s3-csv`` shape
+  (``singer-connectors/target-s3-csv``, flat delimited files an
+  ``tap_s3_csv`` source reads straight back), point ``--target`` at
+  ``s3a://...`` for the real thing.
 - ``index``    keep a persisted PQ or IVF index current (``--index-kind``;
   ``auto`` reads the kind from index.json): drop CoW re-emits via the
   index's feed-LSN watermark, fold the remainder last-per-key, encode
@@ -84,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
                         "O(touched-bucket) re-encodes per batch instead "
                         "of O(delta); correctness is unaffected either "
                         "way (re-encodes are same-content replaces)")
+    p.add_argument("--export-format", choices=["parquet", "csv"],
+                   default="parquet",
+                   help="export mode output: parquet (default) or "
+                        "headered CSV — the reference's target-s3-csv "
+                        "shape")
+    p.add_argument("--csv-delimiter", default=",",
+                   help="--export-format csv field separator")
+    p.add_argument("--csv-compression", choices=["none", "gzip"],
+                   default="none",
+                   help="--export-format csv: gzip emits .csv.gz parts "
+                        "(the reference target's default)")
     p.add_argument("--max-bytes-per-partition", type=int, default=None)
     p.add_argument("--available-now", dest="available_now",
                    action="store_true", default=True)
@@ -241,7 +257,33 @@ def main(argv: list[str] | None = None) -> int:
                 folded.unpersist()
 
         writer = feed.writeStream.foreachBatch(maintain)
-    else:  # export
+    elif args.export_format == "csv":  # export, target-s3-csv shape
+        from pyspark.sql.types import (
+            ArrayType, BinaryType, MapType, StructType,
+        )
+
+        # CSV holds only atomic cells — an embedding/array column must
+        # fail here with a usable message, not per-row in an executor
+        bad = [
+            f.name for f in feed.schema.fields
+            if isinstance(f.dataType,
+                          (ArrayType, BinaryType, MapType, StructType))
+        ]
+        if bad:
+            print(
+                f"--export-format csv cannot serialize column(s) {bad}; "
+                f"export parquet instead", file=sys.stderr,
+            )
+            return 1
+        writer = (
+            feed.writeStream.format("csv")
+            .option("path", args.target)
+            .option("header", "true")
+            .option("sep", args.csv_delimiter)
+        )
+        if args.csv_compression != "none":
+            writer = writer.option("compression", args.csv_compression)
+    else:  # export, parquet
         writer = feed.writeStream.format("parquet").option(
             "path", args.target
         )

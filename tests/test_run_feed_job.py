@@ -163,6 +163,61 @@ def test_run_feed_export_mode(spark, tmp_path):
     assert "_lsn" in got.columns
 
 
+def test_run_feed_export_csv(spark, tmp_path):
+    """--export-format csv: the reference's target-s3-csv shape —
+    headered, gzip'd, delimited files a tap_s3_csv source reads back."""
+    import glob
+    import os
+
+    import run_feed
+
+    ev = generate_change_events(spark, n_convs=6, turns_per_conv=2,
+                                n_updates=6)
+    t = LakeTable.create(
+        spark, str(tmp_path / "src_csv"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2,
+    )
+    merge_into(t, ev, batch_id=0)
+    out = str(tmp_path / "export_csv")
+    assert run_feed.main([
+        "--source", t.path, "--checkpoint", str(tmp_path / "ck_csv"),
+        "--mode", "export", "--target", out, "--export-format", "csv",
+        "--csv-delimiter", "|", "--csv-compression", "gzip",
+        "--timeout-sec", "120",
+    ]) == 0
+    assert glob.glob(os.path.join(out, "*.csv.gz"))
+    got = (spark.read.options(header=True, sep="|", inferSchema=True)
+           .csv(out))
+    assert got.count() == t.read().count()
+    assert "_lsn" in got.columns
+    assert set(got.select("conv_id").toPandas()["conv_id"]) == {
+        r["conv_id"] for r in t.read().select("conv_id").collect()
+    }
+
+
+def test_run_feed_export_csv_rejects_array_columns(spark, tmp_path):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StringType, StructField, StructType,
+    )
+
+    import run_feed
+
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("v", ArrayType(DoubleType())),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "src_vec"), schema, ["id"],
+                         num_buckets=2)
+    df = spark.createDataFrame([("a", [1.0, 2.0], "I", 1)],
+                               "id string, v array<double>, op string, lsn long")
+    merge_into(t, df, batch_id=0)
+    assert run_feed.main([
+        "--source", t.path, "--checkpoint", str(tmp_path / "ck_vec"),
+        "--mode", "export", "--target", str(tmp_path / "out_vec"),
+        "--export-format", "csv", "--timeout-sec", "60",
+    ]) == 1
+
+
 def test_run_feed_cli_real_subprocess(spark, tmp_path):
     """Drive the CLI as a REAL OS process (its own JVM/session, the
     spark-submit shape) — catches worker-side sys.path / pickling
