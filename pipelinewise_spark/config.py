@@ -42,6 +42,25 @@ SUPPORTED_TAP_TYPES = {
     "tap-kafka": "kafka",
     "tap-s3-csv": "files",
     "tap-mongodb": "mongo",
+    # the SaaS family: one generic REST incremental reader
+    # (sources/rest.py) — endpoint paths/pagination are per-table
+    # CONFIG, not baked-in catalogs (see rest.py docstring)
+    "tap-github": "rest",
+    "tap-jira": "rest",
+    "tap-zendesk": "rest",
+    "tap-slack": "rest",
+    "tap-mixpanel": "rest",
+    "tap-twilio": "rest",
+    "tap-salesforce": "rest",
+    "tap-rest": "rest",
+}
+
+#: REST base URLs that are unambiguous per service; every other REST
+#: tap (site-/subdomain-scoped APIs) must set ``db_conn.base_url``.
+_REST_BASE_DEFAULT = {
+    "tap-github": "https://api.github.com",
+    "tap-slack": "https://slack.com/api",
+    "tap-twilio": "https://api.twilio.com",
 }
 
 #: per-dialect JDBC URL templates — a spec must never render a URL that
@@ -238,6 +257,35 @@ def reader_spec(cfg: dict, source_schema: str, table: dict) -> dict:
         spec["function"] = "decode_change_stream"
         spec["kwargs"] = {}
         spec["required_at_bind"] = ["lines"]
+    elif module == "rest":
+        base_url = conn.get("base_url") or _REST_BASE_DEFAULT.get(tap_type)
+        if not base_url:
+            raise ValueError(
+                f"{_stream_id(source_schema, table)}: {tap_type} needs "
+                f"db_conn.base_url (site-/subdomain-scoped API)"
+            )
+        spec["function"] = "rest_reader"
+        spec["kwargs"] = {
+            "base_url": base_url,
+            # endpoint path is per-table config; default to the
+            # conventional /<table_name> listing
+            "path": table.get("path") or f"/{table['table_name']}",
+            "records_path": table.get("records_path", ""),
+            "pagination": table.get("pagination", "link"),
+            "stream": _stream_id(source_schema, table),
+        }
+        if method == "INCREMENTAL":
+            key = table.get("replication_key")
+            if not key:
+                raise ValueError(
+                    f"{_stream_id(source_schema, table)}: INCREMENTAL "
+                    "requires replication_key"
+                )
+            spec["kwargs"]["replication_key"] = key
+            spec["kwargs"]["since_param"] = table.get("since_param", "since")
+            spec["required_at_bind"] = ["auth", "bookmark"]
+        else:
+            spec["required_at_bind"] = ["auth"]
     return spec
 
 

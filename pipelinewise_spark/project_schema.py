@@ -99,6 +99,11 @@ _TABLE = {
             "minItems": 1,
         },
         "transformations": {"type": "array", "items": _TRANSFORMATION},
+        # REST tap family only (sources/rest.py): endpoint config
+        "path": {"type": "string", "minLength": 1},
+        "records_path": {"type": "string"},
+        "pagination": {"enum": ["link", "cursor", "page", "none"]},
+        "since_param": {"type": "string", "minLength": 1},
     },
     "required": ["table_name"],
     "anyOf": [

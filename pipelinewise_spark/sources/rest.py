@@ -1,0 +1,341 @@
+"""Generic REST incremental source — the shared engine behind the
+reference's SaaS tap family (tap-github, tap-jira, tap-zendesk,
+tap-slack, tap-mixpanel, tap-twilio, tap-salesforce).
+
+Every one of those taps is the same client loop with different
+endpoint catalogs: authenticated GET, one of three pagination shapes,
+an incremental ``since``-style bookmark on a record timestamp, and
+rate-limit-aware retry. Reference anchors:
+
+- Link-header pagination + X-RateLimit throttling: tap-github
+  ``__init__.py:226-246`` (``authed_get_all_pages`` follows
+  ``r.links['next']``) and ``rate_throttling:200-224`` (sleep until
+  ``X-RateLimit-Reset`` when remaining hits 0);
+- cursor pagination: tap-zendesk ``streams.py`` (cursor-based
+  incremental exports carrying an ``after_cursor``);
+- page/offset pagination + Retry-After on 429: tap-jira / tap-twilio
+  client loops.
+
+What is per-SaaS in the reference is each tap's baked-in endpoint
+paths and JSON schemas; here those are CONFIG (``path``,
+``records_path``, ``pagination``, replication key per table) and the
+mechanism is this module — one tested loop instead of seven copies.
+
+Scale note: a chained pagination (link/cursor — each page names the
+next) is inherently sequential per stream; the distributed path
+(:func:`fetch_pages_distributed`) fans page-addressable APIs out
+across executors with ``mapInPandas``, one HTTP fetch per page per
+task — the right shape when the API allows random page access and the
+rate limit, not the driver, is the bottleneck.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Iterator
+
+DEFAULT_TIMEOUT = 30.0
+MAX_RETRIES = 5
+BACKOFF_BASE_SEC = 0.5
+#: hard page cap — an API whose pagination never terminates (cursor
+#: echoing itself, miscounted page totals) must not loop forever
+MAX_PAGES = 10_000
+
+
+class RestError(RuntimeError):
+    """Non-retryable HTTP failure (4xx other than 429) or retries
+    exhausted."""
+
+
+def auth_headers(auth: tuple | None) -> dict:
+    """``("bearer", token)`` / ``("basic", user, password)`` /
+    ``("header", name, value)`` → HTTP headers."""
+    if auth is None:
+        return {}
+    kind = auth[0]
+    if kind == "bearer":
+        return {"Authorization": f"Bearer {auth[1]}"}
+    if kind == "basic":
+        cred = base64.b64encode(f"{auth[1]}:{auth[2]}".encode()).decode()
+        return {"Authorization": f"Basic {cred}"}
+    if kind == "header":
+        return {auth[1]: auth[2]}
+    raise ValueError(f"unknown auth kind {kind!r}")
+
+
+def _parse_link_next(link_header: str | None) -> str | None:
+    """RFC 5988 Link header → the rel="next" URL (tap-github's
+    ``r.links['next']['url']``)."""
+    if not link_header:
+        return None
+    for part in link_header.split(","):
+        bits = part.split(";")
+        url = bits[0].strip().strip("<>")
+        for attr in bits[1:]:
+            if attr.strip().replace('"', "").replace("'", "") == "rel=next":
+                return url
+    return None
+
+
+def http_get_json(
+    url: str,
+    *,
+    headers: dict | None = None,
+    timeout: float = DEFAULT_TIMEOUT,
+    max_retries: int = MAX_RETRIES,
+    sleep=time.sleep,
+) -> tuple[Any, dict]:
+    """GET → (parsed JSON body, response headers). Retries with
+    exponential backoff on 5xx and connection errors; honors
+    ``Retry-After`` on 429 and sleeps out an exhausted
+    ``X-RateLimit-Remaining: 0`` window (``X-RateLimit-Reset`` epoch),
+    the reference's throttle behavior. Other 4xx raise immediately —
+    retrying a 401/404 is noise."""
+    attempt = 0
+    while True:
+        try:
+            req = urllib.request.Request(url, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                hdrs = {k.lower(): v for k, v in resp.headers.items()}
+                body = json.loads(resp.read().decode("utf-8") or "null")
+                if hdrs.get("x-ratelimit-remaining") == "0":
+                    reset = float(hdrs.get("x-ratelimit-reset", 0) or 0)
+                    wait = max(0.0, reset - time.time())
+                    if wait:
+                        sleep(min(wait, 3600.0))
+                return body, hdrs
+        except urllib.error.HTTPError as e:
+            status = e.code
+            if status == 429 or status >= 500:
+                attempt += 1
+                if attempt > max_retries:
+                    raise RestError(
+                        f"GET {url} failed after {max_retries} retries "
+                        f"(last status {status})"
+                    ) from e
+                retry_after = e.headers.get("Retry-After")
+                wait = (float(retry_after) if retry_after
+                        else BACKOFF_BASE_SEC * 2 ** (attempt - 1))
+                sleep(min(wait, 3600.0))
+                continue
+            raise RestError(
+                f"GET {url} returned {status}: "
+                f"{e.read().decode('utf-8', 'replace')[:200]}"
+            ) from e
+        except (urllib.error.URLError, TimeoutError) as e:
+            attempt += 1
+            if attempt > max_retries:
+                raise RestError(
+                    f"GET {url} failed after {max_retries} retries: {e}"
+                ) from e
+            sleep(BACKOFF_BASE_SEC * 2 ** (attempt - 1))
+
+
+def _dig(doc: Any, path: str) -> Any:
+    """Dotted path into a JSON document; '' = the document itself."""
+    if not path:
+        return doc
+    for key in path.split("."):
+        if doc is None:
+            return None
+        doc = doc.get(key) if isinstance(doc, dict) else None
+    return doc
+
+
+def fetch_records(
+    base_url: str,
+    path: str,
+    *,
+    auth: tuple | None = None,
+    params: dict | None = None,
+    records_path: str = "",
+    pagination: str = "link",
+    cursor_param: str = "cursor",
+    cursor_path: str = "meta.after_cursor",
+    page_param: str = "page",
+    start_page: int = 1,
+    since_param: str | None = None,
+    bookmark: Any = None,
+    max_pages: int = MAX_PAGES,
+    timeout: float = DEFAULT_TIMEOUT,
+    sleep=time.sleep,
+) -> Iterator[dict]:
+    """Yield raw record dicts across pages.
+
+    ``pagination``: ``"link"`` follows the Link rel=next header
+    (github), ``"cursor"`` re-requests with ``cursor_param`` =
+    ``cursor_path`` dug from the body until it is null/absent
+    (zendesk), ``"page"`` increments ``page_param`` until a page yields
+    no records (jira/twilio), ``"none"`` fetches once. ``since_param``
+    + ``bookmark`` request only records changed since the last run —
+    server-side filtering, the incremental contract every reference
+    SaaS tap uses."""
+    headers = auth_headers(auth)
+    q = dict(params or {})
+    if since_param is not None and bookmark is not None:
+        q[since_param] = bookmark
+    page = start_page
+    cursor = None
+    url = None
+    for _ in range(max_pages):
+        if url is None:
+            qq = dict(q)
+            if pagination == "cursor" and cursor is not None:
+                qq[cursor_param] = cursor
+            if pagination == "page":
+                qq[page_param] = page
+            url = f"{base_url.rstrip('/')}/{path.lstrip('/')}"
+            if qq:
+                url += ("&" if "?" in url else "?") + urllib.parse.urlencode(qq)
+        body, hdrs = http_get_json(
+            url, headers=headers, timeout=timeout, sleep=sleep
+        )
+        records = _dig(body, records_path)
+        if records is None:
+            if records_path:
+                # a typo'd records_path silently yielding zero records
+                # forever is the worst failure mode an ingest can have
+                raise RestError(
+                    f"records_path {records_path!r} addressed nothing "
+                    f"in the response from {url}"
+                )
+            records = []
+        if not isinstance(records, list):
+            raise RestError(
+                f"records_path {records_path!r} did not address a list "
+                f"in the response from {url}"
+            )
+        yield from records
+        if pagination == "none":
+            return
+        if pagination == "link":
+            url = _parse_link_next(hdrs.get("link"))
+            if url is None:
+                return
+            continue
+        if pagination == "cursor":
+            cursor = _dig(body, cursor_path)
+            if not cursor:
+                return
+            url = None
+            continue
+        # page
+        if not records:
+            return
+        page += 1
+        url = None
+    raise RestError(
+        f"pagination did not terminate within {max_pages} pages "
+        f"({base_url}/{path})"
+    )
+
+
+def rest_reader(
+    spark,
+    base_url: str,
+    path: str,
+    *,
+    stream: str,
+    replication_key: str | None = None,
+    bookmark: Any = None,
+    schema=None,
+    **fetch_kw,
+) -> tuple[Any, Any]:
+    """Bounded incremental read → ``(DataFrame, new_bookmark)``.
+
+    The fetch runs driver-side (a rate-limited SaaS API is not a
+    distributed source; the reference taps are single-threaded HTTP
+    clients — parity, not a concession). Records land as JSON strings
+    and parse into ``schema`` when given, else infer. Adds the
+    ``_sdc_extracted_at`` / ``_sdc_source`` system columns
+    (``sources/files.py`` uses the same convention). ``new_bookmark``
+    is the max ``replication_key`` seen, or the input bookmark when the
+    window was empty."""
+    from pyspark.sql import functions as F
+
+    rows = list(fetch_records(
+        base_url, path, since_param=fetch_kw.pop("since_param", None),
+        bookmark=bookmark, **fetch_kw,
+    ))
+    new_bookmark = bookmark
+    if replication_key is not None and rows:
+        seen = [r.get(replication_key) for r in rows
+                if r.get(replication_key) is not None]
+        if seen:
+            hi = max(seen)
+            new_bookmark = hi if bookmark is None else max(bookmark, hi)
+    if schema is not None:
+        df = spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "value string"
+        ).select(
+            F.from_json("value", schema).alias("r")
+        ).select("r.*")
+    elif rows:
+        df = spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+        )
+    else:
+        # empty incremental window, no declared schema: a zero-column,
+        # zero-row frame carrying only the system columns below
+        df = spark.range(0).drop("id")
+    df = (
+        df.withColumn("_sdc_extracted_at", F.current_timestamp())
+          .withColumn("_sdc_source", F.lit(f"{base_url}/{path.lstrip('/')}"))
+    )
+    return df, new_bookmark
+
+
+def fetch_pages_distributed(
+    spark,
+    base_url: str,
+    path: str,
+    *,
+    n_pages: int,
+    auth: tuple | None = None,
+    params: dict | None = None,
+    records_path: str = "",
+    page_param: str = "page",
+    start_page: int = 1,
+    schema=None,
+    timeout: float = DEFAULT_TIMEOUT,
+):
+    """Executor-parallel fetch of a PAGE-ADDRESSABLE endpoint: one HTTP
+    GET per page per task via ``mapInPandas`` (Arrow-batched; no
+    per-row Python). Returns a DataFrame of the parsed records.
+
+    Use when the API allows random page access and the rate limit —
+    not the driver — bounds throughput; each executor retries/backs
+    off independently through :func:`http_get_json`."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pages = spark.range(start_page, start_page + n_pages).select(
+        F.col("id").cast("int").alias("page")
+    )
+    base = base_url  # close over plain values only (pickled to workers)
+    q = dict(params or {})
+    hdrs = auth_headers(auth)
+
+    def fetch(batches):
+        for pdf in batches:
+            out = []
+            for page in pdf["page"]:
+                qq = {**q, page_param: int(page)}
+                url = f"{base.rstrip('/')}/{path.lstrip('/')}"
+                url += ("&" if "?" in url else "?") + urllib.parse.urlencode(qq)
+                body, _ = http_get_json(url, headers=hdrs, timeout=timeout)
+                recs = _dig(body, records_path) or []
+                out.extend(json.dumps(r) for r in recs)
+            yield pd.DataFrame({"value": out})
+
+    raw = pages.repartition(max(1, min(n_pages, 64))).mapInPandas(
+        fetch, "value string"
+    )
+    if schema is not None:
+        return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+    return raw

@@ -124,7 +124,7 @@ def test_reader_specs_reflect_replication_method():
     with pytest.raises(ValueError, match="replication_method"):
         reader_spec(cfg, "my_db", {"table_name": "x", "replication_method": "BOGUS"})
     with pytest.raises(ValueError, match="unsupported tap type"):
-        reader_spec({"type": "tap-zendesk"}, "s", {"table_name": "x",
+        reader_spec({"type": "tap-dynamodb"}, "s", {"table_name": "x",
                                                    "replication_method": "FULL_TABLE"})
     # INCREMENTAL without replication_key is a config error caught at
     # spec time (the reference rejects it at import), not at the database
