@@ -257,9 +257,27 @@ def cmd_discover_tap(args) -> int:
             args.stream or os.path.basename(args.input.rstrip("/")).split(".")[0],
             keys,
         )
+    elif args.rest_url:
+        # one bounded page, schema inferred from the live records — the
+        # REST-family analog of the reference taps' discover mode
+        from pipelinewise_spark.sources import rest
+
+        auth = ("bearer", args.rest_token) if args.rest_token else None
+        df, _ = rest.rest_reader(
+            spark, args.rest_url, args.rest_path or "/",
+            stream=args.stream or "rest",
+            records_path=args.records_path or "",
+            pagination="none", auth=auth,
+        )
+        entry = cat.discover_dataframe(
+            df.drop("_sdc_extracted_at", "_sdc_source"),
+            args.stream or (args.rest_path or "rest").strip("/").replace("/", "_"),
+            keys,
+        )
     else:
         print(
-            "one of --input / --lake-table / --jdbc-url is required",
+            "one of --input / --lake-table / --jdbc-url / --rest-url "
+            "is required",
             file=sys.stderr,
         )
         return 1
@@ -635,6 +653,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--lake-table", help="existing LakeTable path")
     s.add_argument("--jdbc-url")
     s.add_argument("--source-table", help="table name for --jdbc-url")
+    s.add_argument("--rest-url", help="REST API base URL (SaaS tap family)")
+    s.add_argument("--rest-path", help="endpoint path for --rest-url")
+    s.add_argument("--rest-token", help="bearer token for --rest-url")
+    s.add_argument("--records-path",
+                   help="dotted path to the record list in the response")
     s.add_argument("--stream", help="stream name override")
     s.add_argument("--key-properties", help="comma-separated key columns")
     s.set_defaults(fn=cmd_discover_tap)

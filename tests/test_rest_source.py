@@ -185,6 +185,24 @@ def test_fetch_pages_distributed(spark, api):
     assert {r["id"] for r in df.collect()} == {r["id"] for r in ITEMS}
 
 
+def test_cli_discover_tap_rest(spark, api, capsys):
+    """discover_tap --rest-url: one bounded page, inferred schema →
+    Singer catalog entry (the SaaS taps' discover mode)."""
+    from jobs.cli import main as cli_main
+
+    rc = cli_main([
+        "discover_tap", "--rest-url", api, "--rest-path", "/paged",
+        "--records-path", "items", "--stream", "issues",
+        "--key-properties", "id",
+    ])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    streams = {s["tap_stream_id"]: s for s in doc["streams"]}
+    assert "issues" in streams
+    props = streams["issues"]["schema"]["properties"]
+    assert {"id", "updated_at"} <= set(props)
+
+
 def test_reader_spec_rest():
     from pipelinewise_spark.config import reader_spec
 
