@@ -1834,6 +1834,138 @@ def s12_kafka_fold(spark, sf):
     )
 
 
+_REST_FOLD_SQL = """
+    WITH src AS (
+      SELECT user_id, value, event_id, event_type
+      FROM events ORDER BY event_id LIMIT 150),
+    last AS (
+      SELECT user_id, event_id AS lsn, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM src)
+    SELECT user_id, lsn AS last_lsn, value AS last_value
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@q("s18_rest_incremental_fold", _REST_FOLD_SQL)
+def s18_rest_fold(spark, sf):
+    """The REST SaaS tap family under the oracle gate: the first 150
+    events become paginated JSON over a REAL in-process HTTP server
+    (Link rel=next headers, 40 records/page — tap-github's pagination,
+    ``__init__.py:239-246``), consumed in TWO incremental windows
+    through the live reader (``sources/rest.py``): window 1 reads the
+    first half with no bookmark, window 2 re-requests with
+    ``since=<bookmark>`` and must receive ONLY the newer half —
+    server-side filtering, the incremental contract every reference
+    SaaS tap uses. Both windows merge as change batches (event_type
+    'error' → D) and the final table state must equal DuckDB's
+    last-per-key fold of the same 150 events."""
+    import json as _json
+    import threading as _threading
+    import urllib.parse as _up
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import LakeTable
+    from pipelinewise_spark.sources import rest as _rest
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    rows = (
+        _t(spark, sf, "events")
+        .select("user_id", "value", "event_id", "event_type")
+        .orderBy("event_id")
+        .limit(150)
+        .collect()
+    )
+    recs = [
+        {"user_id": r.user_id, "value": r.value, "event_id": r.event_id,
+         "event_type": r.event_type}
+        for r in rows
+    ]
+    mark = recs[len(recs) // 2 - 1]["event_id"]
+    PAGE = 40
+
+    class _Api(BaseHTTPRequestHandler):
+        def do_GET(self):
+            u = _up.urlparse(self.path)
+            qq = dict(_up.parse_qsl(u.query))
+            page = int(qq.get("page", 1))
+            if u.path == "/batch1":
+                live = [x for x in recs if x["event_id"] <= mark]
+            else:  # /batch2 — since filtering server-side
+                since = int(qq.get("since", -1))
+                live = [x for x in recs if x["event_id"] > since]
+            chunk = live[(page - 1) * PAGE:page * PAGE]
+            body = _json.dumps(chunk).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            if page * PAGE < len(live):
+                nq = _up.urlencode({**qq, "page": page + 1})
+                self.send_header(
+                    "Link",
+                    f'<http://{self.headers["Host"]}{u.path}?{nq}>; '
+                    f'rel="next"',
+                )
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Api)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ])
+        d = _scratch_table_dir("restfold", sf)
+        t = LakeTable.create(
+            spark, d + "/t",
+            StructType([StructField("user_id", LongType()),
+                        StructField("value", DoubleType())]),
+            ["user_id"], num_buckets=4,
+        )
+
+        def as_batch(df):
+            return df.select(
+                "user_id", "value",
+                F.col("event_id").alias("lsn"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U")).alias("op"),
+            )
+
+        df1, bm1 = _rest.rest_reader(
+            spark, base, "/batch1", stream="s18",
+            replication_key="event_id", schema=schema,
+        )
+        merge_into(t, as_batch(df1), stream="s18", batch_id=0)
+        assert bm1 == mark, (bm1, mark)
+        df2, bm2 = _rest.rest_reader(
+            spark, base, "/batch2", stream="s18",
+            since_param="since", bookmark=bm1,
+            replication_key="event_id", schema=schema,
+        )
+        n2 = df2.count()
+        expect2 = sum(1 for x in recs if x["event_id"] > mark)
+        assert n2 == expect2, (n2, expect2)  # since filter really filtered
+        merge_into(t, as_batch(df2), stream="s18", batch_id=1)
+        assert bm2 == recs[-1]["event_id"]
+    finally:
+        srv.shutdown()
+    return t.read().select(
+        "user_id",
+        F.col("_lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+    )
+
+
 _DISCOVERY_SQL = """
     SELECT column_name,
            CASE
@@ -1975,6 +2107,11 @@ def ann_pq_adc_loaded(spark, sf):
 #                            + dedup_components (clustering); moved r6 to
 #                            seat ann_pq_adc_loaded (the persisted-index
 #                            production path) inside the window
+#   t4_hash_skip_first    -> t4_t6_masks_customer (same transform
+#                            compiler, HASH + skip-ends + number masks in
+#                            one row); moved r6 to seat
+#                            s18_rest_incremental_fold (the SaaS tap
+#                            family's live reader under the oracle)
 # They stay registered AND oracle-checked (tests/test_oracle_parity.py
 # runs every ORACLES entry); they just yield their correctness-artifact
 # slots to the §2 gates. Ordering is insertion order — this block is the
@@ -1988,6 +2125,7 @@ _TAIL_BASELINES = [
     "ann_lsh_topk",
     "ann_ivf_centroids",
     "dedup_minhash_groups",
+    "t4_hash_skip_first",
 ]
 for _name in _TAIL_BASELINES:
     if _name in QUERIES:  # guarded: a rename must not brick import
