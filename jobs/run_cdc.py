@@ -155,8 +155,6 @@ def main(argv: list[str] | None = None) -> int:
         # column (<source_schema>-<table_name>). All argument validation
         # happens BEFORE build_project — wiring creates tables on disk,
         # and a usage error must leave no side effects.
-        if not args.events or not args.checkpoint:
-            p.error("--events and --checkpoint required with --project")
         if args.mode != "stream":
             p.error("--project supports mode=stream only")
         for flag, name in ((args.transform_config, "--transform-config"),
@@ -179,8 +177,52 @@ def main(argv: list[str] | None = None) -> int:
         # fail here, not at the 3 a.m. failure it was supposed to
         # report) — reference cli/pipelinewise.py:97
         from pipelinewise_spark.alerts import AlertSender
+        from pipelinewise_spark.config import SUPPORTED_TAP_TYPES
 
         alert_sender = AlertSender(cfg.get("alert_handlers"))
+
+        if SUPPORTED_TAP_TYPES.get(cfg.get("type", "")) == "rest":
+            # SaaS family: bounded pull → merge → bookmark per stream
+            # (no change-log dir or checkpoint — the API IS the log and
+            # the bookmark lives in the table manifest). Rerun = next
+            # incremental window.
+            from pipelinewise_spark.sources.rest import run_rest_sync
+
+            if args.sync_tables or args.continuous:
+                p.error("--sync-tables/--continuous apply to change-log "
+                        "taps; a REST tap rerun IS the next window")
+            proj = build_project(
+                spark, cfg, lake_root=args.table,
+                schema_provider=lambda s: (TRANSCRIPT_SCHEMA,
+                                           TRANSCRIPT_KEY),
+                num_buckets=args.num_buckets,
+                soft_delete=bool(args.soft_delete),
+            )
+            token = (cfg.get("db_conn") or {}).get("token")
+            auth = ("bearer", token) if token else None
+            out = {}
+            try:
+                for stream, spec in proj["readers"].items():
+                    out[stream] = run_rest_sync(
+                        spark, table=proj["tables"][stream], spec=spec,
+                        stream=stream, auth=auth,
+                    )
+            except Exception as exc:
+                if cfg.get("send_alert", True) and alert_sender.handlers:
+                    alert_sender.send_to_all_handlers(
+                        message=f"{cfg.get('id', 'tap')} tap failed",
+                        exc=exc,
+                        tap_slack_channel=cfg.get("slack_alert_channel"),
+                    )
+                raise
+            print(json.dumps({"mode": "rest", "streams": out},
+                             default=str))
+            return 0
+
+        # change-log taps stream a change-event dir exactly-once
+        if not args.events or not args.checkpoint:
+            p.error("--events and --checkpoint required with --project "
+                    "(change-log taps; REST taps need neither)")
         sync = [x.strip() for x in (args.sync_tables or "").split(",")
                 if x.strip()]
         # validated BEFORE build_project like every other usage error —

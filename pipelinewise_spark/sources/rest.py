@@ -290,6 +290,95 @@ def rest_reader(
     return df, new_bookmark
 
 
+def run_rest_sync(
+    spark,
+    *,
+    table,
+    spec: dict,
+    stream: str,
+    auth: tuple | None = None,
+    transform=None,
+    timeout: float = DEFAULT_TIMEOUT,
+) -> dict:
+    """One bounded incremental pull → MERGE → bookmark commit for a
+    REST-family stream — ``run_tap`` for a SaaS tap (the reference's
+    sync loop: fetch the window since the bookmark, upsert, write
+    state; e.g. tap-github ``__init__.py:381-391`` writes the ``since``
+    bookmark after each stream).
+
+    ``spec`` is the :func:`pipelinewise_spark.config.reader_spec`
+    rendering. The change batch derives ``lsn`` from the replication
+    key (numeric → cast; timestamp/ISO-string → epoch-µs), so merge
+    ordering matches the API's own change order; a keyless FULL_TABLE
+    pull stamps ``bookmark lsn + 1``, a whole-window refresh. The raw
+    replication-key value is persisted as ``replication_key_value`` in
+    the stream bookmark (a separate metadata commit AFTER the merge —
+    a crash between the two re-fetches the last window and the upserts
+    replay idempotently)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pipelinewise_spark.cdc.merge import merge_into
+
+    kw = dict(spec["kwargs"])
+    kw.pop("stream", None)
+    base_url, path = kw.pop("base_url"), kw.pop("path")
+    rk = kw.pop("replication_key", None)
+    payload = T.StructType(
+        [f for f in table.logical_schema.fields if f.name in table.data_cols]
+    )
+    bm = table.bookmarks.get(stream, {})
+    df, new_rk = rest_reader(
+        spark, base_url, path, stream=stream,
+        replication_key=rk, bookmark=bm.get("replication_key_value"),
+        schema=payload, auth=auth, timeout=timeout, **kw,
+    )
+    df = df.drop("_sdc_extracted_at", "_sdc_source")
+    if transform is not None:
+        df = transform(df)
+    n = df.count()
+    if n == 0:
+        return {"rows": 0, "stream": stream,
+                "bookmark": bm.get("replication_key_value")}
+    if rk is not None:
+        if rk not in payload.names:
+            raise ValueError(
+                f"{stream}: replication_key {rk!r} is not a payload "
+                f"column ({payload.names})"
+            )
+        dt = payload[rk].dataType
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
+            lsn = F.col(rk).cast("long")
+        elif isinstance(dt, T.TimestampType):
+            lsn = F.unix_micros(F.col(rk))
+        elif isinstance(dt, T.StringType):
+            lsn = F.unix_micros(F.to_timestamp(F.col(rk)))
+        else:
+            raise ValueError(
+                f"{stream}: cannot derive a merge LSN from "
+                f"replication_key {rk!r} of type {dt.simpleString()}"
+            )
+        bad = df.where(F.col(rk).isNotNull() & lsn.isNull()).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"{stream}: replication_key {rk!r} values do not parse "
+                f"as timestamps — cannot order the merge"
+            )
+    else:
+        lsn = F.lit(int(bm.get("lsn", 0) or 0) + 1)
+    ev = df.withColumn("op", F.lit("U")).withColumn(
+        "lsn", lsn.cast("long")
+    )
+    metrics = merge_into(table, ev, stream=stream, batch_id=None)
+    if new_rk is not None and new_rk != bm.get("replication_key_value"):
+        table.commit(
+            bookmarks={stream: {"replication_key_value": new_rk}},
+            summary={"operation": "rest_bookmark", "stream": stream},
+        )
+    return {**metrics, "rows_fetched": n, "stream": stream,
+            "bookmark": new_rk}
+
+
 def fetch_pages_distributed(
     spark,
     base_url: str,

@@ -203,6 +203,97 @@ def test_cli_discover_tap_rest(spark, api, capsys):
     assert {"id", "updated_at"} <= set(props)
 
 
+def test_run_cdc_rest_project_sync(spark, tmp_path):
+    """run_tap for a SaaS tap: `run_cdc --project <rest tap yaml>` pulls
+    the window since the bookmark, merges, persists the raw
+    replication-key bookmark; the rerun fetches ONLY the delta."""
+    from jobs.run_cdc import main as run_cdc_main
+    from pipelinewise_spark.lake.table import LakeTable
+
+    upstream = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",
+         "tool": None, "ts": "2026-01-01T00:00:00Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo",
+         "tool": None, "ts": "2026-01-02T00:00:00Z"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "text": "q",
+         "tool": None, "ts": "2026-01-02T00:00:00Z"},
+    ]
+    seen_auth = []
+
+    class _Tap(BaseHTTPRequestHandler):
+        def do_GET(self):
+            u = urllib.parse.urlparse(self.path)
+            q = dict(urllib.parse.parse_qsl(u.query))
+            seen_auth.append(self.headers.get("Authorization"))
+            since = q.get("since", "")
+            live = [r for r in upstream if r["ts"] > since]
+            body = json.dumps(live).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Tap)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        proj = tmp_path / "tap_rest.yml"
+        proj.write_text(f"""
+id: saas
+type: tap-rest
+db_conn:
+  base_url: http://127.0.0.1:{srv.server_port}
+  token: tk-1
+target: lake
+schemas:
+  - source_schema: api
+    tables:
+      - table_name: conversations
+        replication_method: INCREMENTAL
+        replication_key: ts
+        key_properties: [conv_id, turn_idx]
+        path: /conversations
+        pagination: none
+        since_param: since
+""")
+        lake = str(tmp_path / "lake")
+        assert run_cdc_main(["--project", str(proj), "--table", lake,
+                             "--num-buckets", "4"]) == 0
+        t = LakeTable(spark, f"{lake}/api/conversations")
+        assert t.read().count() == 3
+        bm = t.bookmarks["api-conversations"]
+        assert bm["replication_key_value"] == "2026-01-02T00:00:00Z"
+        assert seen_auth[-1] == "Bearer tk-1"
+
+        # upstream change: one new turn + one edited (newer ts)
+        upstream.append(
+            {"conv_id": "c2", "turn_idx": 1, "role": "assistant",
+             "text": "a", "tool": None, "ts": "2026-01-03T00:00:00Z"})
+        upstream[0] = {**upstream[0], "text": "hi (edited)",
+                       "ts": "2026-01-04T00:00:00Z"}
+        n_req_before = len(seen_auth)
+        assert run_cdc_main(["--project", str(proj), "--table", lake,
+                             "--num-buckets", "4"]) == 0
+        assert len(seen_auth) > n_req_before
+        t = t.refresh()
+        rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+                for r in t.read().collect()}
+        assert rows[("c1", 0)] == "hi (edited)"
+        assert rows[("c2", 1)] == "a"
+        assert len(rows) == 4
+        assert (t.bookmarks["api-conversations"]["replication_key_value"]
+                == "2026-01-04T00:00:00Z")
+
+        # quiet window: rerun is a clean no-op
+        assert run_cdc_main(["--project", str(proj), "--table", lake,
+                             "--num-buckets", "4"]) == 0
+        assert t.refresh().read().count() == 4
+    finally:
+        srv.shutdown()
+
+
 def test_reader_spec_rest():
     from pipelinewise_spark.config import reader_spec
 
