@@ -345,6 +345,19 @@ def cmd_test_tap_connection(args) -> int:
                 rows.append((sid, "FAIL" if why else "ok",
                              why or "bootstrap reachable"))
                 failures += bool(why)
+            elif mod == "rest":
+                # the endpoint IS in the YAML (db_conn.base_url or the
+                # tap family's default) — probe the API host, exactly
+                # what the reference's tap connection test proves
+                from urllib.parse import urlsplit
+
+                u = urlsplit(spec["kwargs"]["base_url"])
+                port = u.port or (443 if u.scheme == "https" else 80)
+                why = (_tcp_probe(u.hostname, port, args.timeout)
+                       if u.hostname else f"bad base_url {u.geturl()!r}")
+                rows.append((sid, "FAIL" if why else "ok",
+                             why or f"tcp {u.hostname}:{port}"))
+                failures += bool(why)
             elif mod == "files":
                 path = spec["kwargs"]["path"]
                 if path.startswith(("s3a://", "s3://", "gs://", "abfss://")):

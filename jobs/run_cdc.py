@@ -186,26 +186,62 @@ def main(argv: list[str] | None = None) -> int:
             # (no change-log dir or checkpoint — the API IS the log and
             # the bookmark lives in the table manifest). Rerun = next
             # incremental window.
-            from pipelinewise_spark.sources.rest import run_rest_sync
+            from pipelinewise_spark.config import reader_spec
+            from pipelinewise_spark.sources.rest import (
+                rest_reader, run_rest_sync,
+            )
 
             if args.sync_tables or args.continuous:
                 p.error("--sync-tables/--continuous apply to change-log "
                         "taps; a REST tap rerun IS the next window")
+            token = (cfg.get("db_conn") or {}).get("token")
+            auth = ("bearer", token) if token else None
+
+            # schema discovery from the endpoint itself (the singer
+            # discover step): one bounded GET per NEW stream, schema
+            # inferred from live records — key_properties come from the
+            # YAML. Existing tables keep their stored schema.
+            specs = {}
+            for sch in cfg["schemas"]:
+                for tb in sch.get("tables", []) or []:
+                    sid = f"{sch['source_schema']}-{tb['table_name']}"
+                    specs[sid] = reader_spec(cfg, sch["source_schema"], tb)
+
+            def _discover(stream):
+                kw = dict(specs[stream]["kwargs"])
+                for k in ("stream", "pagination", "since_param",
+                          "replication_key"):
+                    kw.pop(k, None)
+                df, _ = rest_reader(
+                    spark, kw.pop("base_url"), kw.pop("path"),
+                    stream=stream, pagination="none", auth=auth, **kw,
+                )
+                df = df.drop("_sdc_extracted_at", "_sdc_source")
+                if not df.columns or df.limit(1).count() == 0:
+                    raise ValueError(
+                        f"{stream}: cannot discover a schema from an "
+                        f"empty endpoint — load one record upstream or "
+                        f"create the lake table first"
+                    )
+                return df.schema, None  # keys come from the YAML
+
             proj = build_project(
                 spark, cfg, lake_root=args.table,
-                schema_provider=lambda s: (TRANSCRIPT_SCHEMA,
-                                           TRANSCRIPT_KEY),
+                schema_provider=_discover,
                 num_buckets=args.num_buckets,
                 soft_delete=bool(args.soft_delete),
             )
-            token = (cfg.get("db_conn") or {}).get("token")
-            auth = ("bearer", token) if token else None
             out = {}
             try:
                 for stream, spec in proj["readers"].items():
                     out[stream] = run_rest_sync(
                         spark, table=proj["tables"][stream], spec=spec,
                         stream=stream, auth=auth,
+                        # YAML transformations compile into the wired
+                        # pipelines — a REST sync must apply them too
+                        # (masking that silently lapses is a PII leak)
+                        transform=proj["pipeline"]
+                        .pipelines[stream].transform,
                     )
             except Exception as exc:
                 if cfg.get("send_alert", True) and alert_sender.handlers:

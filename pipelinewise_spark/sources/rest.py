@@ -70,16 +70,49 @@ def auth_headers(auth: tuple | None) -> dict:
 
 def _parse_link_next(link_header: str | None) -> str | None:
     """RFC 5988 Link header → the rel="next" URL (tap-github's
-    ``r.links['next']['url']``)."""
+    ``r.links['next']['url']``). Entries are matched as ``<url>; attrs``
+    pairs — a naive split on ',' would shear URLs whose query strings
+    contain commas (field lists, sort specs: routine in the Jira/Zendesk
+    APIs this module covers)."""
+    import re
+
     if not link_header:
         return None
-    for part in link_header.split(","):
-        bits = part.split(";")
-        url = bits[0].strip().strip("<>")
-        for attr in bits[1:]:
-            if attr.strip().replace('"', "").replace("'", "") == "rel=next":
-                return url
+    for m in re.finditer(r"<([^>]*)>\s*((?:;[^,<]*)*)", link_header):
+        if re.search(r";\s*rel\s*=\s*[\"']?next[\"']?", m.group(2)):
+            return m.group(1)
     return None
+
+
+def _retry_after_seconds(value: str | None, attempt: int) -> float:
+    """``Retry-After`` → seconds: delta-seconds, or an RFC 7231
+    HTTP-date; falls back to exponential backoff on anything else."""
+    if value:
+        try:
+            return float(value)
+        except ValueError:
+            pass
+        try:
+            from email.utils import parsedate_to_datetime
+
+            dt = parsedate_to_datetime(value)
+            return max(0.0, dt.timestamp() - time.time())
+        except (TypeError, ValueError):
+            pass
+    return BACKOFF_BASE_SEC * 2 ** (attempt - 1)
+
+
+def _ratelimit_wait(hdrs: dict, sleep) -> None:
+    """Sleep out an exhausted ``X-RateLimit-Remaining: 0`` window
+    (``X-RateLimit-Reset`` epoch — tap-github's throttle,
+    ``rate_throttling:200-224``). Call this BEFORE the next request,
+    never after the last one — the final page of a sync must not stall
+    for a window nobody will use."""
+    if hdrs.get("x-ratelimit-remaining") == "0":
+        reset = float(hdrs.get("x-ratelimit-reset", 0) or 0)
+        wait = max(0.0, reset - time.time())
+        if wait:
+            sleep(min(wait, 3600.0))
 
 
 def http_get_json(
@@ -92,10 +125,11 @@ def http_get_json(
 ) -> tuple[Any, dict]:
     """GET → (parsed JSON body, response headers). Retries with
     exponential backoff on 5xx and connection errors; honors
-    ``Retry-After`` on 429 and sleeps out an exhausted
-    ``X-RateLimit-Remaining: 0`` window (``X-RateLimit-Reset`` epoch),
-    the reference's throttle behavior. Other 4xx raise immediately —
-    retrying a 401/404 is noise."""
+    ``Retry-After`` on 429 (delta-seconds OR HTTP-date, RFC 7231).
+    Rate-limit windows are the CALLER's concern between requests
+    (:func:`_ratelimit_wait`) — sleeping after the last response of a
+    sync would stall for a window nobody uses. Other 4xx raise
+    immediately — retrying a 401/404 is noise."""
     attempt = 0
     while True:
         try:
@@ -103,11 +137,6 @@ def http_get_json(
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 hdrs = {k.lower(): v for k, v in resp.headers.items()}
                 body = json.loads(resp.read().decode("utf-8") or "null")
-                if hdrs.get("x-ratelimit-remaining") == "0":
-                    reset = float(hdrs.get("x-ratelimit-reset", 0) or 0)
-                    wait = max(0.0, reset - time.time())
-                    if wait:
-                        sleep(min(wait, 3600.0))
                 return body, hdrs
         except urllib.error.HTTPError as e:
             status = e.code
@@ -118,9 +147,9 @@ def http_get_json(
                         f"GET {url} failed after {max_retries} retries "
                         f"(last status {status})"
                     ) from e
-                retry_after = e.headers.get("Retry-After")
-                wait = (float(retry_after) if retry_after
-                        else BACKOFF_BASE_SEC * 2 ** (attempt - 1))
+                wait = _retry_after_seconds(
+                    e.headers.get("Retry-After"), attempt
+                )
                 sleep(min(wait, 3600.0))
                 continue
             raise RestError(
@@ -217,18 +246,18 @@ def fetch_records(
             url = _parse_link_next(hdrs.get("link"))
             if url is None:
                 return
-            continue
-        if pagination == "cursor":
+        elif pagination == "cursor":
             cursor = _dig(body, cursor_path)
             if not cursor:
                 return
             url = None
-            continue
-        # page
-        if not records:
-            return
-        page += 1
-        url = None
+        else:  # page
+            if not records:
+                return
+            page += 1
+            url = None
+        # another request follows — sleep out an exhausted rate window
+        _ratelimit_wait(hdrs, sleep)
     raise RestError(
         f"pagination did not terminate within {max_pages} pages "
         f"({base_url}/{path})"
@@ -298,6 +327,7 @@ def run_rest_sync(
     stream: str,
     auth: tuple | None = None,
     transform=None,
+    schema_drift: bool = True,
     timeout: float = DEFAULT_TIMEOUT,
 ) -> dict:
     """One bounded incremental pull → MERGE → bookmark commit for a
@@ -309,12 +339,34 @@ def run_rest_sync(
     ``spec`` is the :func:`pipelinewise_spark.config.reader_spec`
     rendering. The change batch derives ``lsn`` from the replication
     key (numeric → cast; timestamp/ISO-string → epoch-µs), so merge
-    ordering matches the API's own change order; a keyless FULL_TABLE
-    pull stamps ``bookmark lsn + 1``, a whole-window refresh. The raw
+    ordering matches the API's own change order. The merge runs with
+    ``filter_applied_lsn=False``: the API's ``since`` filter already
+    bounds the window server-side, and the strict bookmark prefix
+    filter would silently drop a record whose key TIES the bookmark —
+    coarse second-granularity keys tie routinely, and several APIs'
+    ``since`` is inclusive (github). Re-fetched unchanged rows then
+    re-upsert idempotently instead of being filtered; records with a
+    NULL replication key are likewise merged (NULL lsn never wins a
+    tie but is never dropped). A FULL_TABLE pull (no replication key)
+    stamps ``bookmark lsn + 1`` and reconciles: rows the API no longer
+    returns are vanish-DELETED (one left-anti join, the
+    ``cdc/partial.py`` shape) — the window IS the whole table. The raw
     replication-key value is persisted as ``replication_key_value`` in
     the stream bookmark (a separate metadata commit AFTER the merge —
     a crash between the two re-fetches the last window and the upserts
-    replay idempotently)."""
+    replay idempotently).
+
+    ``schema_drift`` (default on) is S17 for the SaaS family: fields
+    that appear upstream but are missing from the stored table schema
+    are ADD-COLUMNed (metadata-only evolve; historical rows read NULL)
+    before the merge, exactly the reference targets' new-column rule
+    (``target_postgres/db_sync.py:539-549``). Add-only by design: the
+    incoming schema is JSON-INFERRED (every int arrives as long, every
+    all-null window as string), so driving version/promote off it would
+    churn columns on inference noise — existing columns always CAST to
+    their stored types instead. With drift off, records parse strictly
+    through the stored schema and unknown fields are silently dropped
+    (the pre-drift behavior)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -331,15 +383,46 @@ def run_rest_sync(
     df, new_rk = rest_reader(
         spark, base_url, path, stream=stream,
         replication_key=rk, bookmark=bm.get("replication_key_value"),
-        schema=payload, auth=auth, timeout=timeout, **kw,
+        schema=None if schema_drift else payload,
+        auth=auth, timeout=timeout, **kw,
     )
     df = df.drop("_sdc_extracted_at", "_sdc_source")
-    if transform is not None:
-        df = transform(df)
     n = df.count()
     if n == 0:
         return {"rows": 0, "stream": stream,
                 "bookmark": bm.get("replication_key_value")}
+    if schema_drift:
+        from pipelinewise_spark.lake.table import METADATA_COLS
+
+        reserved = {"op", "lsn", "_bucket"} | set(METADATA_COLS)
+        new_fields = [f for f in df.schema.fields
+                      if f.name not in payload.names]
+        clash = sorted(f.name for f in new_fields if f.name in reserved)
+        if clash:
+            raise ValueError(
+                f"{stream}: upstream added field(s) {clash} that collide "
+                f"with the engine's merge columns — rename them upstream "
+                f"or map them in a transform"
+            )
+        if new_fields:
+            table.evolve([
+                {"action": "add_column", "name": f.name,
+                 "type": json.loads(f.dataType.json())}
+                for f in new_fields
+            ])
+            payload = T.StructType([
+                f for f in table.logical_schema.fields
+                if f.name in table.data_cols
+            ])
+        # align to the stored schema: inferred columns CAST to their
+        # declared types, columns absent from this window read NULL
+        df = df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in payload.fields
+        ])
+    if transform is not None:
+        df = transform(df)
     if rk is not None:
         if rk not in payload.names:
             raise ValueError(
@@ -369,7 +452,30 @@ def run_rest_sync(
     ev = df.withColumn("op", F.lit("U")).withColumn(
         "lsn", lsn.cast("long")
     )
-    metrics = merge_into(table, ev, stream=stream, batch_id=None)
+    if rk is None and table.key_cols:
+        # FULL_TABLE reconcile: the fetch IS the table — rows the API
+        # stopped returning vanish-delete (partial.py's left-anti shape
+        # over the whole key space)
+        keys = list(table.key_cols)
+        gone = table.read().select(*keys).join(
+            df.select(*keys), on=keys, how="left_anti"
+        )
+        if gone.limit(1).count():
+            deletes = gone.select(
+                *[
+                    (F.col(f.name) if f.name in keys
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in payload.fields
+                ],
+                F.lit("D").alias("op"),
+                F.lit(int(bm.get("lsn", 0) or 0) + 1).cast("long")
+                .alias("lsn"),
+            )
+            ev = ev.unionByName(deletes)
+    metrics = merge_into(
+        table, ev, stream=stream, batch_id=None,
+        filter_applied_lsn=False,
+    )
     if new_rk is not None and new_rk != bm.get("replication_key_value"):
         table.commit(
             bookmarks={stream: {"replication_key_value": new_rk}},
@@ -413,12 +519,31 @@ def fetch_pages_distributed(
     def fetch(batches):
         for pdf in batches:
             out = []
+            last_hdrs = None
             for page in pdf["page"]:
+                if last_hdrs is not None:
+                    _ratelimit_wait(last_hdrs, time.sleep)
                 qq = {**q, page_param: int(page)}
                 url = f"{base.rstrip('/')}/{path.lstrip('/')}"
                 url += ("&" if "?" in url else "?") + urllib.parse.urlencode(qq)
-                body, _ = http_get_json(url, headers=hdrs, timeout=timeout)
-                recs = _dig(body, records_path) or []
+                body, last_hdrs = http_get_json(
+                    url, headers=hdrs, timeout=timeout
+                )
+                recs = _dig(body, records_path)
+                if recs is None and records_path:
+                    # same loud contract as fetch_records — a typo'd
+                    # records_path must not read as "zero records"
+                    raise RestError(
+                        f"records_path {records_path!r} addressed "
+                        f"nothing in the response from {url}"
+                    )
+                if recs is None:
+                    recs = []
+                if not isinstance(recs, list):
+                    raise RestError(
+                        f"records_path {records_path!r} did not address "
+                        f"a list in the response from {url}"
+                    )
                 out.extend(json.dumps(r) for r in recs)
             yield pd.DataFrame({"value": out})
 

@@ -77,6 +77,28 @@ class _Api(BaseHTTPRequestHandler):
                 self._send(429, {"err": "slow down"}, {"Retry-After": "0"})
             else:
                 self._send(200, [{"id": 2}])
+        elif route == "/limited_date":
+            # RFC 7231 allows an HTTP-date Retry-After (GitHub emits both)
+            if type(self).hits[route] == 1:
+                from email.utils import formatdate
+
+                self._send(429, {"err": "slow down"},
+                           {"Retry-After": formatdate(usegmt=True)})
+            else:
+                self._send(200, [{"id": 4}])
+        elif route == "/throttled":
+            # linked pages that exhaust the rate window on EVERY response
+            import time as _t
+
+            page = int(q.get("page", 1))
+            chunk = ITEMS[(page - 1) * 3:page * 3]
+            headers = {
+                "X-RateLimit-Remaining": "0",
+                "X-RateLimit-Reset": str(int(_t.time()) + 5),
+            }
+            if page * 3 < len(ITEMS):
+                headers["Link"] = f'<{base}/throttled?page={page + 1}>; rel="next"'
+            self._send(200, chunk, headers)
         elif route == "/since":
             bm = q.get("since", "")
             self._send(200, [r for r in ITEMS if r["updated_at"] > bm])
@@ -152,6 +174,86 @@ def test_bad_records_path_is_loud(api):
     with pytest.raises(RestError, match="records_path"):
         list(fetch_records(api, "/paged", pagination="none",
                            records_path="wrong.place2"))
+
+
+def test_link_header_urls_with_commas():
+    """A rel=next URL whose query string contains commas (field lists,
+    sort specs — routine in Jira/Zendesk) must come back intact; a naive
+    split on ',' shears it."""
+    from pipelinewise_spark.sources.rest import _parse_link_next
+
+    h = ('<https://api.example.com/items?fields=id,name,updated&page=2>; '
+         'rel="next", <https://api.example.com/items?page=9>; rel="last"')
+    assert _parse_link_next(h) == (
+        "https://api.example.com/items?fields=id,name,updated&page=2"
+    )
+    # bare (unquoted) rel token — several APIs emit rel=next unquoted
+    assert _parse_link_next("<https://x/b?a=1,2>; rel=next") == "https://x/b?a=1,2"
+    assert _parse_link_next('<https://x/a>; rel="last"') is None
+    assert _parse_link_next(None) is None
+
+
+def test_retry_after_formats():
+    """Retry-After: delta-seconds, HTTP-date, or garbage → backoff.
+    The HTTP-date form used to raise an uncaught ValueError from inside
+    the 429 handler."""
+    import datetime
+    from email.utils import format_datetime
+
+    from pipelinewise_spark.sources.rest import (
+        BACKOFF_BASE_SEC, _retry_after_seconds,
+    )
+
+    assert _retry_after_seconds("2.5", 1) == 2.5
+    future = datetime.datetime.now(datetime.timezone.utc) + \
+        datetime.timedelta(seconds=30)
+    assert 0 <= _retry_after_seconds(format_datetime(future), 1) <= 31
+    past = datetime.datetime.now(datetime.timezone.utc) - \
+        datetime.timedelta(seconds=30)
+    assert _retry_after_seconds(format_datetime(past), 1) == 0.0
+    assert _retry_after_seconds("soon-ish", 3) == BACKOFF_BASE_SEC * 4
+    assert _retry_after_seconds(None, 1) == BACKOFF_BASE_SEC
+
+
+def test_retry_after_http_date_through_429(api):
+    """End-to-end: a 429 carrying an HTTP-date Retry-After retries
+    instead of crashing."""
+    naps = []
+    got = list(fetch_records(api, "/limited_date", pagination="none",
+                             sleep=naps.append))
+    assert got == [{"id": 4}]
+    assert _Api.hits["/limited_date"] == 2 and len(naps) == 1
+
+
+def test_ratelimit_wait_is_deferred_to_next_request(api):
+    """An exhausted X-RateLimit window sleeps BEFORE the next request,
+    never after the last one — a one-shot or final page must not stall
+    for a window nobody uses."""
+    naps = []
+    # 3 linked pages, remaining=0 on every response: sleep between
+    # pages only → exactly 2 naps, each ~the 5 s reset window
+    got = list(fetch_records(api, "/throttled", sleep=naps.append))
+    assert got == ITEMS
+    assert len(naps) == 2 and all(0 < n <= 6 for n in naps)
+    # one-shot fetch of the same throttled route: zero naps
+    naps.clear()
+    got = list(fetch_records(api, "/throttled", pagination="none",
+                             sleep=naps.append))
+    assert got == ITEMS[:3] and naps == []
+
+
+def test_latest_per_key_null_lsn_never_wins_never_drops(spark):
+    """REST rows with a NULL replication key carry a NULL lsn into the
+    merge: within a batch a NULL lsn must lose every tie against a real
+    lsn, and an all-NULL key must still survive dedup (not vanish)."""
+    from pipelinewise_spark.cdc.dedup import latest_per_key
+
+    df = spark.createDataFrame(
+        [(1, 5, "real"), (1, None, "null-lsn"), (2, None, "only-null")],
+        "id int, lsn long, val string",
+    )
+    got = {r["id"]: r["val"] for r in latest_per_key(df, ["id"]).collect()}
+    assert got == {1: "real", 2: "only-null"}
 
 
 def test_rest_reader_incremental_bookmark(spark, api):
@@ -292,6 +394,216 @@ schemas:
         assert t.refresh().read().count() == 4
     finally:
         srv.shutdown()
+
+
+class _MutableUpstream:
+    """Tiny API over a mutable record list: GET /items returns every
+    record whose ``updated_at`` >= ``since`` (INCLUSIVE, like GitHub's
+    ``since``) plus any record with a NULL ``updated_at``."""
+
+    def __init__(self):
+        self.records: list[dict] = []
+        outer = self
+
+        class _H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                q = dict(urllib.parse.parse_qsl(
+                    urllib.parse.urlparse(self.path).query))
+                since = q.get("since")
+                live = [r for r in outer.records
+                        if r.get("updated_at") is None
+                        or since is None or r["updated_at"] >= since]
+                body = json.dumps(live).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self.srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+        threading.Thread(target=self.srv.serve_forever, daemon=True).start()
+        self.url = f"http://127.0.0.1:{self.srv.server_port}"
+
+    def stop(self):
+        self.srv.shutdown()
+
+
+def test_run_rest_sync_bookmark_tie_and_null_key(spark, tmp_path):
+    """Two silent-data-loss regressions: (1) a record whose replication
+    key TIES the persisted bookmark (coarse timestamps tie routinely;
+    GitHub's ``since`` is inclusive) must still merge — the strict
+    bookmark prefix filter used to drop it forever; (2) a record with a
+    NULL replication key must merge, not be filtered by ``NULL > lsn``."""
+    from pyspark.sql import types as T
+
+    from pipelinewise_spark.lake.table import LakeTable
+    from pipelinewise_spark.sources.rest import run_rest_sync
+
+    up = _MutableUpstream()
+    try:
+        up.records = [
+            {"id": 1, "updated_at": "2026-01-01T00:00:00Z", "val": "a"},
+            {"id": 2, "updated_at": "2026-01-02T00:00:00Z", "val": "b"},
+        ]
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("updated_at", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ])
+        table = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                                 ["id"], num_buckets=4)
+        spec = {"kwargs": {
+            "stream": "s-items", "base_url": up.url, "path": "/items",
+            "records_path": "", "pagination": "none",
+            "replication_key": "updated_at", "since_param": "since",
+        }}
+        m1 = run_rest_sync(spark, table=table, spec=spec, stream="s-items")
+        assert m1["rows_fetched"] == 2
+        assert (table.refresh().bookmarks["s-items"]
+                ["replication_key_value"] == "2026-01-02T00:00:00Z")
+
+        # upstream: record 2 edited at the SAME timestamp as the
+        # bookmark; record 3 arrives with a NULL replication key
+        up.records[1] = {**up.records[1], "val": "b-edited"}
+        up.records.append({"id": 3, "updated_at": None, "val": "c"})
+        table = table.refresh()
+        m2 = run_rest_sync(spark, table=table, spec=spec, stream="s-items")
+        assert m2["rows_fetched"] == 2  # server window: tie + null only
+        rows = {r["id"]: r["val"] for r in table.refresh().read().collect()}
+        assert rows == {1: "a", 2: "b-edited", 3: "c"}
+    finally:
+        up.stop()
+
+
+def test_run_rest_sync_full_table_vanish_delete(spark, tmp_path):
+    """A FULL_TABLE pull IS the table: rows the API stops returning are
+    vanish-deleted on the next sync (the upsert-only regression left
+    them in the lake forever)."""
+    from pyspark.sql import types as T
+
+    from pipelinewise_spark.lake.table import LakeTable
+    from pipelinewise_spark.sources.rest import run_rest_sync
+
+    up = _MutableUpstream()
+    try:
+        up.records = [{"id": i, "updated_at": None, "val": f"v{i}"}
+                      for i in (1, 2, 3)]
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("updated_at", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ])
+        table = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                                 ["id"], num_buckets=4)
+        spec = {"kwargs": {
+            "stream": "s-col", "base_url": up.url, "path": "/items",
+            "records_path": "", "pagination": "none",
+        }}
+        run_rest_sync(spark, table=table, spec=spec, stream="s-col")
+        assert table.refresh().read().count() == 3
+
+        del up.records[1]  # collaborator removed upstream
+        table = table.refresh()
+        m = run_rest_sync(spark, table=table, spec=spec, stream="s-col")
+        assert m["deleted"] == 1
+        assert ({r["id"] for r in table.refresh().read().collect()}
+                == {1, 3})
+    finally:
+        up.stop()
+
+
+def test_run_rest_sync_schema_drift_adds_columns(spark, tmp_path):
+    """S17 for the SaaS family: a field that appears upstream mid-stream
+    is ADD-COLUMNed before the merge (historical rows read NULL); with
+    drift off the stored schema is strict and the field is dropped; a
+    field colliding with the engine's merge columns raises loudly."""
+    from pyspark.sql import types as T
+
+    from pipelinewise_spark.lake.table import LakeTable
+    from pipelinewise_spark.sources.rest import run_rest_sync
+
+    up = _MutableUpstream()
+    try:
+        up.records = [
+            {"id": 1, "updated_at": "2026-01-01T00:00:00Z", "val": "a"},
+        ]
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("updated_at", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ])
+        table = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                                 ["id"], num_buckets=4)
+        spec = {"kwargs": {
+            "stream": "s", "base_url": up.url, "path": "/items",
+            "records_path": "", "pagination": "none",
+            "replication_key": "updated_at", "since_param": "since",
+        }}
+        run_rest_sync(spark, table=table, spec=spec, stream="s")
+
+        # upstream adds a field; the next window carries it
+        up.records.append({"id": 2, "updated_at": "2026-01-02T00:00:00Z",
+                           "val": "b", "labels": "bug,p1"})
+        table = table.refresh()
+        run_rest_sync(spark, table=table, spec=spec, stream="s")
+        table = table.refresh()
+        rows = {r["id"]: r["labels"] for r in table.read().collect()}
+        assert rows == {1: None, 2: "bug,p1"}  # historical row reads NULL
+
+        # drift OFF: a further new field is dropped, schema unchanged
+        up.records.append({"id": 3, "updated_at": "2026-01-03T00:00:00Z",
+                           "val": "c", "rogue": True})
+        run_rest_sync(spark, table=table, spec=spec, stream="s",
+                      schema_drift=False)
+        table = table.refresh()
+        assert "rogue" not in table.read().columns
+        assert table.read().count() == 3
+
+        # a reserved-name field must fail loudly, not corrupt the merge
+        up.records.append({"id": 4, "updated_at": "2026-01-04T00:00:00Z",
+                           "val": "d", "op": "x"})
+        with pytest.raises(ValueError, match="collide"):
+            run_rest_sync(spark, table=table, spec=spec, stream="s")
+    finally:
+        up.stop()
+
+
+def test_fetch_pages_distributed_bad_records_path_is_loud(spark, api):
+    """The executor path keeps the sequential loop's loud contract: a
+    typo'd records_path must raise, not read as zero records forever."""
+    df = fetch_pages_distributed(
+        spark, api, "/paged", n_pages=2, records_path="wrong.place",
+        schema="id bigint",
+    )
+    with pytest.raises(Exception, match="records_path"):
+        df.collect()
+
+
+def test_cli_test_tap_connection_rest_probe(api, tmp_path, capsys):
+    """test_tap_connection probes the REST base_url host (the endpoint
+    IS in the YAML) instead of reporting 'no endpoint in YAML'."""
+    from jobs.cli import main as cli_main
+
+    yml = tmp_path / "tap_rest.yml"
+    yml.write_text(f"""
+id: saas
+type: tap-rest
+db_conn: {{base_url: {api}}}
+schemas:
+  - source_schema: s
+    tables:
+      - {{table_name: items, path: /paged, pagination: page}}
+""")
+    assert cli_main(["test_tap_connection", "--project", str(yml)]) == 0
+    out = capsys.readouterr().out
+    assert "ok" in out and "tcp 127.0.0.1" in out
+
+    bad = tmp_path / "tap_bad.yml"
+    bad.write_text(yml.read_text().replace(api, "http://127.0.0.1:1"))
+    assert cli_main(["test_tap_connection", "--project", str(bad),
+                     "--timeout", "0.3"]) == 1
 
 
 def test_reader_spec_rest():
