@@ -53,6 +53,29 @@ from pipelinewise_spark.lake.table import (
 DROP_ACTIONS = ("delete", "noop_delete")
 
 
+def _obs_get(obs: Observation, df: DataFrame, aggs: list) -> dict:
+    """``Observation.get`` with an eliminated-node fallback.
+
+    AQE's empty-relation propagation can replace the subtree feeding the
+    write's repartition exchange with an empty LocalRelation when it
+    turns out to produce zero rows — e.g. a merge in which every
+    surviving row of the affected buckets was deleted, under the
+    non-aligned (``bucket_col``) layout whose write adds a salted
+    repartition. That elimination takes the ``CollectMetrics`` node with
+    it, leaving the observation holding a schema-less empty row that
+    ``Observation.get`` cannot decode (``toPyRow`` assertion). The DATA
+    outcome is correct (an empty write replacing the bucket); only the
+    metrics are lost — so re-run the same aggregate expressions directly
+    against the pre-observe frame: the plan is deterministic, and the
+    recompute is cheap exactly when this fires (the plan just proved it
+    yields ~no output). The aligned layout writes with no post-observe
+    exchange, so it never hits this."""
+    try:
+        return obs.get
+    except Exception:
+        return df.agg(*aggs).first().asDict()
+
+
 class ExactlyOnceWindowError(RuntimeError):
     """The bounded applied-batch-id window has evicted ids AND the LSN
     bookmark backstop is unavailable (``filter_applied_lsn=False``, or a
@@ -259,30 +282,31 @@ def _merge_once(
         )
         null_key = _any_null_key(key_cols)
         obs = Observation("mor")
-        observed = prepared.observe(
-            obs,
+        aggs = [
             F.count(F.lit(1)).alias("rows"),
             F.max(LSN_COL).alias("max_lsn"),
             F.sum(F.when(null_key, 1).otherwise(0)).alias("null_keys"),
-        )
+        ]
+        observed = prepared.observe(obs, *aggs)
         delta_added = table.write_bucket_files(
             observed, clustered=table.buckets_aligned_with_keys
         )
-        if int(obs.get.get("null_keys") or 0):
+        m = _obs_get(obs, prepared, aggs)
+        if int(m.get("null_keys") or 0):
             # same pre-commit rejection as the CoW path: a null PK would
             # group with every other null PK at read-time resolution
             raise NullKeyError(
-                f"{int(obs.get['null_keys'])} source row(s) carry NULL in "
+                f"{int(m['null_keys'])} source row(s) carry NULL in "
                 f"a primary-key column {key_cols}; CDC primary keys must "
                 f"be non-null"
             )
-        max_lsn = obs.get.get("max_lsn")
+        max_lsn = m.get("max_lsn")
         prev = table.bookmarks.get(stream, {}).get("lsn")
         new_lsn = max(
             int(max_lsn) if max_lsn is not None else -1,
             int(prev) if prev is not None else -1,
         )
-        metrics = {"rows": int(obs.get["rows"]), "mode": "mor"}
+        metrics = {"rows": int(m["rows"] or 0), "mode": "mor"}
         table.commit(
             delta_added=delta_added,
             bookmarks={stream: {"lsn": new_lsn}} if new_lsn >= 0 else None,
@@ -428,8 +452,7 @@ def _merge_cow(
     )
 
     obs = Observation("merge")
-    observed = projected.observe(
-        obs,
+    aggs = [
         F.sum(F.when(F.col("__null_key"), 1).otherwise(0)).alias("null_keys"),
         F.sum(F.when(F.col("__action") == "insert", 1).otherwise(0)).alias("inserted"),
         F.sum(F.when(F.col("__action") == "update", 1).otherwise(0)).alias("updated"),
@@ -439,7 +462,8 @@ def _merge_cow(
         F.sum(F.when(F.col("__action") == "carry", 1).otherwise(0)).alias("carried"),
         F.max("__s_lsn").alias("max_lsn"),
         F.count(F.lit(1)).alias("joined_rows"),
-    )
+    ]
+    observed = projected.observe(obs, *aggs)
     result = (
         observed.where(~F.col("__action").isin(*DROP_ACTIONS))
         .drop("__action", "__s_lsn", "__null_key")
@@ -470,9 +494,10 @@ def _merge_cow(
             f"(unexpected buckets {sorted(stray)}); snapshot/persist the "
             f"source before merge_into"
         )
-    metrics = {k: (int(v) if v is not None else None) for k, v in obs.get.items()
+    m = _obs_get(obs, projected, aggs)
+    metrics = {k: (int(v) if v is not None else None) for k, v in m.items()
                if k not in ("max_lsn", "null_keys")}
-    null_keys = int(obs.get.get("null_keys") or 0)
+    null_keys = int(m.get("null_keys") or 0)
     if null_keys:
         # fail BEFORE commit: nothing publishes, the orphaned data files
         # are reclaimed by vacuum(). A null PK is a tap bug (the
@@ -483,7 +508,7 @@ def _merge_cow(
             f"{null_keys} source row(s) carry NULL in a primary-key "
             f"column {table.key_cols}; CDC primary keys must be non-null"
         )
-    max_lsn = obs.get.get("max_lsn")
+    max_lsn = m.get("max_lsn")
     prev = table.bookmarks.get(stream, {}).get("lsn")
     new_lsn = max(
         int(max_lsn) if max_lsn is not None else -1,
@@ -552,18 +577,19 @@ def _append_only(
     prepared = source.select(*cols)
     bucket = table.bucket_expr()  # content hash over data cols (no keys)
     obs = Observation("append")
-    observed = prepared.observe(
-        obs,
+    aggs = [
         F.count(F.lit(1)).alias("inserted"),
         F.max(LSN_COL).alias("max_lsn"),
-    ).withColumn("_bucket", bucket)
+    ]
+    observed = prepared.observe(obs, *aggs).withColumn("_bucket", bucket)
     added = table.write_bucket_files(observed)
-    max_lsn = obs.get.get("max_lsn")
+    m = _obs_get(obs, prepared, aggs)
+    max_lsn = m.get("max_lsn")
     new_lsn = max(
         int(max_lsn) if max_lsn is not None else -1,
         int(prev) if prev is not None else -1,
     )
-    metrics = {"inserted": int(obs.get["inserted"]), "appended": True}
+    metrics = {"inserted": int(m["inserted"] or 0), "appended": True}
     table.commit(
         added=added,
         bookmarks={stream: {"lsn": new_lsn}} if new_lsn >= 0 else None,

@@ -201,3 +201,50 @@ def test_exactly_once_window_keyless_no_lsn_guard(spark, tmp_path, monkeypatch):
     assert t.batch_ids_evicted("default") == 1
     with pytest.raises(ExactlyOnceWindowError):
         merge_into(t, src, batch_id=3)
+
+
+def test_merge_emptying_a_bucket_on_bucket_col_layout(spark, tmp_path):
+    """Regression: on a non-aligned (bucket_col) layout the write adds a
+    salted repartition AFTER the merge's CollectMetrics node; when the
+    merge output is EMPTY (every surviving row of the affected buckets
+    deleted) AQE's empty-relation propagation eliminated the metrics
+    node and Observation.get crashed with a JVM toPyRow assertion. The
+    fallback recomputes the same aggregates; data outcome (empty bucket)
+    and metrics (deleted count, bookmark) must both hold."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("val", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["id", "band"],
+        num_buckets=4, bucket_col="id",
+    )
+    # ids 1..4 land doc 1 ALONE in its bucket (murmur3 placement) — the
+    # shape that reproduced the crash; assert it stays that way so the
+    # test keeps covering the empty-rewrite path
+    t.overwrite(spark.createDataFrame(
+        [(i, b, f"v{i}{b}") for i in range(1, 5) for b in range(4)], schema
+    ))
+    alone = (
+        t.read().withColumn("_b", t.bucket_expr())
+        .groupBy("_b").agg(F.count_distinct("id").alias("n"))
+        .where("n = 1").count()
+    )
+    assert alone >= 1, "fixture no longer isolates a doc in its bucket"
+
+    src = spark.createDataFrame(
+        [(1, b) for b in range(4)], "id long, band int"
+    ).withColumn("val", F.lit(None).cast("string")) \
+     .withColumn("lsn", F.lit(int(t.version) + 1).cast("long")) \
+     .withColumn("op", F.lit("D"))
+    m = merge_into(t, src, stream="s")
+    assert m["deleted"] == 4 and m["max_lsn"] is not None
+    t = t.refresh()
+    assert t.read().where("id = 1").count() == 0
+    assert t.read().count() == 12
+    assert t.bookmarks["s"]["lsn"] == m["max_lsn"]
