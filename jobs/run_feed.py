@@ -18,14 +18,17 @@ and drives one of three consumers:
   (``singer-connectors/target-s3-csv``, flat delimited files an
   ``tap_s3_csv`` source reads straight back), point ``--target`` at
   ``s3a://...`` for the real thing.
-- ``index``    keep a persisted PQ or IVF index current (``--index-kind``;
-  ``auto`` reads the kind from index.json): drop CoW re-emits via the
-  index's feed-LSN watermark, fold the remainder last-per-key, encode
-  ONLY the true delta against the saved codebooks/centroids, upsert,
-  and propagate deletes (``functions/ann_index.append_*``/
-  ``delete_*``). The index must already be fitted+saved by a batch job
-  — this maintains it; ``--retrain-on-drift`` additionally refits from
-  the source's live rows when the drift probe trips.
+- ``index``    keep a persisted PQ / IVF / MinHash-LSH index current
+  (``--index-kind``; ``auto`` reads the kind from index.json): drop CoW
+  re-emits via the index's feed-LSN watermark, fold the remainder
+  last-per-key, encode ONLY the true delta against the saved
+  codebooks/centroids (PQ/IVF) or sign it (minhash, ``--text-col``),
+  upsert, and propagate deletes (``functions/ann_index.append_*``/
+  ``delete_*``, ``functions/dedup_index``). The index must already be
+  fitted+saved by a batch job — this maintains it;
+  ``--retrain-on-drift`` additionally refits PQ/IVF from the source's
+  live rows when the drift probe trips (minhash never needs it:
+  stateless hashing has no codebooks to age).
 
 Bounded runs (``--available-now``, default) drain what exists and exit 0;
 kill + rerun with the same --checkpoint resumes exactly. Omit it for a
@@ -58,8 +61,11 @@ def main(argv: list[str] | None = None) -> int:
                         "ignored once the checkpoint holds an offset")
     p.add_argument("--num-buckets", type=int, default=None,
                    help="replica bucket count (default: match the source)")
-    p.add_argument("--vec-col", default="embedding", help="index mode")
-    p.add_argument("--index-kind", choices=["pq", "ivf", "auto"],
+    p.add_argument("--vec-col", default="embedding",
+                   help="index mode (pq/ivf): the embedding column")
+    p.add_argument("--text-col", default="text",
+                   help="index mode (minhash): the document text column")
+    p.add_argument("--index-kind", choices=["pq", "ivf", "minhash", "auto"],
                    default="auto",
                    help="index mode: which maintenance pair to run "
                         "(auto reads the kind from the index.json)")
@@ -208,10 +214,27 @@ def main(argv: list[str] | None = None) -> int:
         kind = args.index_kind
         if kind == "auto":
             kind = ann_index.index_kind(args.target)
-        append = (ann_index.append_pq_codes if kind == "pq"
-                  else ann_index.append_ivf_cells)
-        delete = (ann_index.delete_pq_codes if kind == "pq"
-                  else ann_index.delete_ivf_cells)
+        if kind == "minhash":
+            from pipelinewise_spark.functions import dedup_index
+
+            if args.retrain_on_drift:
+                p.error("--retrain-on-drift does not apply to a minhash "
+                        "index: the hashing is stateless (no codebooks "
+                        "to age), increments are exact forever")
+            payload_col = args.text_col
+
+            def append(target, live, vec_col=None):
+                dedup_index.append_minhash_rows(
+                    target, live, text_col=args.text_col
+                )
+
+            delete = dedup_index.delete_minhash_ids
+        else:
+            payload_col = args.vec_col
+            append = (ann_index.append_pq_codes if kind == "pq"
+                      else ann_index.append_ivf_cells)
+            delete = (ann_index.delete_pq_codes if kind == "pq"
+                      else ann_index.delete_ivf_cells)
 
         def maintain(df, bid):
             # re-emit filter: a CoW bucket rewrite RE-EMITS the whole
@@ -242,7 +265,7 @@ def main(argv: list[str] | None = None) -> int:
                 if hi is None:
                     return  # batch was all re-emits: nothing new
                 live = folded.where(F.col("op") != "D").select(
-                    *id_cols, args.vec_col
+                    *id_cols, payload_col
                 )
                 # empty deltas no-op inside append_*
                 append(args.target, live, vec_col=args.vec_col)

@@ -63,9 +63,19 @@ def _doc_codes_path(path: str, doc: dict) -> str:
     return os.path.join(path, doc.get("codes_dir", _CODES_DIR))
 
 
-def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int) -> str:
+def _save_codes(
+    path: str,
+    df: DataFrame,
+    id_col: str,
+    num_buckets: int,
+    *,
+    key_cols: list[str] | None = None,
+    bucket_col: str | None = None,
+) -> str:
     """Materialize the encoded table as a LakeTable keyed on the vector
-    id; returns the codes DIR NAME to record in ``index.json``.
+    id (or ``key_cols``, e.g. the dedup index's ``(id, band)`` with
+    ``bucket_col=id`` so per-document ops stay bucket-pruned); returns
+    the codes DIR NAME to record in ``index.json``.
 
     EVERY save writes a fresh versioned dir (``codes``, ``codes-2``,
     ...): a retrained index's codebooks ~always differ, so an in-place
@@ -90,8 +100,9 @@ def _save_codes(path: str, df: DataFrame, id_col: str, num_buckets: int) -> str:
                 pass
     new_dir = _CODES_DIR if n == 0 else f"{_CODES_DIR}-{n + 1}"
     LakeTable.create(
-        df.sparkSession, os.path.join(path, new_dir), df.schema, [id_col],
-        num_buckets=num_buckets,
+        df.sparkSession, os.path.join(path, new_dir), df.schema,
+        key_cols or [id_col], num_buckets=num_buckets,
+        bucket_col=bucket_col,
     ).overwrite(df)
     return new_dir
 

@@ -2089,6 +2089,63 @@ def ann_pq_adc_loaded(spark, sf):
     return ann.pq_adc_topk(emb, q8, top_k=10, model=model)
 
 
+_DEDUP_INDEX_SQL = (
+    "WITH "
+    + _WS_CTE
+    + ",\n    sigs AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}|' || w)) AS mh{i}" for i in range(8))
+    + " FROM ws GROUP BY doc_id),\n"
+    + "    banded AS (SELECT doc_id, "
+    + ", ".join(
+        f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS b{b}" for b in range(4)
+    )
+    + " FROM sigs),\n"
+    + """    cand AS (
+      SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS match_id
+      FROM banded p JOIN banded c
+        ON p.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       AND (p.b0 = c.b0 OR p.b1 = c.b1 OR p.b2 = c.b2 OR p.b3 = c.b3))
+    SELECT cand.probe_id, cand.match_id,
+           round(("""
+    + " + ".join(f"(ps.mh{i} = cs.mh{i})::INT" for i in range(8))
+    + """) / 8.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sigs ps ON ps.doc_id = cand.probe_id
+    JOIN sigs cs ON cs.doc_id = cand.match_id
+    """
+)
+
+
+@q("dedup_index_lookup", _DEDUP_INDEX_SQL)
+def dedup_index_lookup(spark, sf):
+    """The PERSISTED dedup-index probe under the oracle gate (the
+    production shape of near-dup detection in a 100-TB ingest: the
+    corpus's MinHash band buckets are a saved index maintained from the
+    change feed; each INCOMING batch signs itself and probes — O(batch)
+    per batch, never O(corpus)). Runs the full fit→save→load→probe
+    chain: documents with doc_id % 10 != 0 are the indexed corpus,
+    % 10 == 0 the incoming batch; emits every band-bucket candidate with
+    its signature-agreement estimate. The oracle replays the identical
+    md5 minhash + banding + estimate in SQL, so any drift across the
+    index round-trip (params in index.json, band rows in the codes
+    LakeTable, slice reassembly at probe time) breaks the value hash.
+    Reference: PipelineWise has no dedup surface — this gates the
+    training-data-pipeline extension's index lifecycle
+    (functions/dedup_index.py)."""
+    from pipelinewise_spark.functions import dedup_index
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    idx = _scratch_table_dir("dedup-minhash-index", sf)
+    dedup_index.save_minhash_index(
+        idx, docs.where(F.col("doc_id") % 10 != 0),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, bands=4, num_buckets=8,
+    )
+    return dedup_index.minhash_lookup(
+        spark, idx, docs.where(F.col("doc_id") % 10 == 0)
+    ).select("probe_id", "match_id", "est_jaccard")
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window: the correctness harness snapshots exactly the FIRST
 # GATE_WINDOW registry rows (CORRECTNESS_r04 proved queries at positions
@@ -2112,6 +2169,13 @@ def ann_pq_adc_loaded(spark, sf):
 #                            one row); moved r6 to seat
 #                            s18_rest_incremental_fold (the SaaS tap
 #                            family's live reader under the oracle)
+#   text_token_count      -> text_token_bpeish (same functions/text.py
+#                            module, the richer tokenizer) +
+#                            text_quality_score (whitespace-token stats
+#                            embedded); moved r6 to seat
+#                            dedup_index_lookup (the persisted
+#                            MinHash-LSH index probe — the production
+#                            dedup shape) inside the window
 # They stay registered AND oracle-checked (tests/test_oracle_parity.py
 # runs every ORACLES entry); they just yield their correctness-artifact
 # slots to the §2 gates. Ordering is insertion order — this block is the
@@ -2126,6 +2190,7 @@ _TAIL_BASELINES = [
     "ann_ivf_centroids",
     "dedup_minhash_groups",
     "t4_hash_skip_first",
+    "text_token_count",
 ]
 for _name in _TAIL_BASELINES:
     if _name in QUERIES:  # guarded: a rename must not brick import

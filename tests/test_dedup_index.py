@@ -1,0 +1,164 @@
+"""Persisted MinHash-LSH dedup index: save/load/probe round-trip,
+incremental append / change / delete maintenance, loud failure modes.
+Mirrors the ANN index lifecycle tests (test_round5_features.py)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipelinewise_spark.functions import dedup_index
+
+BASE = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus(spark):
+    return _corpus(spark, [
+        (1, BASE),
+        (2, BASE + " again"),          # near-dup of 1
+        (3, "completely different words about spark shuffles and lakes"),
+        (4, BASE.replace("fox", "cat")),
+    ])
+
+
+def test_save_load_probe_roundtrip(spark, tmp_path, corpus):
+    path = str(tmp_path / "mh")
+    doc = dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text",
+        num_hashes=16, bands=4, num_buckets=4,
+    )
+    assert doc["kind"] == "minhash" and doc["fit_rows"] == 4
+    loaded = dedup_index.load_minhash_index(path)
+    assert loaded["num_hashes"] == 16 and loaded["bands"] == 4
+
+    # identical text under a NEW id → candidate with est exactly 1.0
+    probes = _corpus(spark, [(100, BASE), (101, "unrelated nonsense zz")])
+    got = {(r["probe_id"], r["match_id"]): r["est_jaccard"]
+           for r in dedup_index.minhash_lookup(spark, path, probes).collect()}
+    assert got[(100, 1)] == 1.0
+    assert not any(p == 101 for (p, _m) in got), got  # no match for 101
+    # near-dups of BASE surface too (share ≥1 band with overwhelming odds)
+    assert (100, 2) in got or (100, 4) in got
+
+    # min_est filters
+    hi = dedup_index.minhash_lookup(spark, path, probes, min_est=0.999)
+    assert {(r["probe_id"], r["match_id"]) for r in hi.collect()} == {(100, 1)}
+
+
+def test_probe_excludes_self_matches(spark, tmp_path, corpus):
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    # probing the corpus itself: a doc never matches its own id
+    got = dedup_index.minhash_lookup(spark, path, corpus).collect()
+    assert all(r["probe_id"] != r["match_id"] for r in got)
+    pairs = {(r["probe_id"], r["match_id"]) for r in got}
+    assert (1, 2) in pairs and (2, 1) in pairs  # near-dups, both directions
+
+
+def test_incremental_append_equals_resave(spark, tmp_path, corpus):
+    """Index maintained by increments must answer probes identically to
+    an index re-saved from the full corpus."""
+    path_inc = str(tmp_path / "inc")
+    path_full = str(tmp_path / "full")
+    dedup_index.save_minhash_index(
+        path_inc, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    new_doc = _corpus(spark, [(5, BASE + " tomorrow")])
+    assert dedup_index.append_minhash_rows(path_inc, new_doc) == 1
+
+    full = corpus.unionByName(new_doc)
+    dedup_index.save_minhash_index(
+        path_full, full, id_col="doc_id", text_col="text", num_buckets=4)
+
+    probes = _corpus(spark, [(100, BASE)])
+    a = {(r["probe_id"], r["match_id"], r["est_jaccard"])
+         for r in dedup_index.minhash_lookup(spark, path_inc, probes).collect()}
+    b = {(r["probe_id"], r["match_id"], r["est_jaccard"])
+         for r in dedup_index.minhash_lookup(spark, path_full, probes).collect()}
+    assert a == b and any(m == 5 for (_, m, _) in a)
+
+
+def test_changed_document_replaces_its_rows(spark, tmp_path, corpus):
+    """A changed document CoW-replaces all its band rows — the old text
+    must stop matching, the new text must start."""
+    from pipelinewise_spark.functions.ann_index import _doc_codes_path
+    from pipelinewise_spark.lake.table import LakeTable
+
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    changed = _corpus(spark, [(3, BASE + " rewritten")])  # was 'different'
+    dedup_index.append_minhash_rows(path, changed)
+
+    doc = dedup_index.load_minhash_index(path)
+    t = LakeTable(spark, _doc_codes_path(path, doc))
+    per_id = {r["doc_id"]: r["n"] for r in
+              t.read().groupBy("doc_id").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert per_id[3] == doc["bands"]  # replaced, not duplicated
+
+    probes = _corpus(spark, [
+        (100, BASE),
+        (101, "completely different words about spark shuffles and lakes"),
+    ])
+    got = {(r["probe_id"], r["match_id"])
+           for r in dedup_index.minhash_lookup(spark, path, probes).collect()}
+    assert (100, 3) in got        # new text now matches BASE probes
+    assert (101, 3) not in got    # old text is gone from the index
+
+
+def test_delete_removes_all_band_rows(spark, tmp_path, corpus):
+    from pipelinewise_spark.functions.ann_index import _doc_codes_path
+    from pipelinewise_spark.lake.table import LakeTable
+
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    dedup_index.delete_minhash_ids(
+        path, spark.createDataFrame([(1,)], "doc_id long"))
+
+    doc = dedup_index.load_minhash_index(path)
+    t = LakeTable(spark, _doc_codes_path(path, doc))
+    assert t.read().where("doc_id = 1").count() == 0
+
+    probes = _corpus(spark, [(100, BASE)])
+    got = {r["match_id"]
+           for r in dedup_index.minhash_lookup(spark, path, probes).collect()}
+    assert 1 not in got and got  # ghost gone, near-dups (2/4) still match
+
+
+def test_duplicate_delta_rejected_and_bad_bands(spark, tmp_path, corpus):
+    path = str(tmp_path / "mh")
+    with pytest.raises(ValueError, match="divide"):
+        dedup_index.save_minhash_index(
+            path, corpus, id_col="doc_id", text_col="text",
+            num_hashes=16, bands=5)
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    dupes = _corpus(spark, [(9, "a b"), (9, "a b c")])
+    with pytest.raises(ValueError, match="duplicate"):
+        dedup_index.append_minhash_rows(path, dupes)
+    # empty delta: clean no-op
+    assert dedup_index.append_minhash_rows(
+        path, _corpus(spark, [])) == 0
+
+
+def test_probe_plan_broadcasts_probe_side(spark, tmp_path, corpus):
+    """The index (corpus-sized) must never shuffle on a probe: the plan
+    broadcasts the probe band rows into the bucket equi-join."""
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    probes = _corpus(spark, [(100, BASE)])
+    plan = dedup_index.minhash_lookup(spark, path, probes) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -111,10 +111,11 @@ def test_gate_window_contract():
         "t9_widen_promote", "t10_flatten_json", "t11_timestamp_clamp",
         "lake_merge_changes_since", "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_components", "dedup_simhash",
-        "text_lang_id", "text_quality_score", "text_token_count",
+        "text_lang_id", "text_quality_score", "text_token_bpeish",
         "doc_fingerprint", "sample_stratified", "export_shards",
         "ann_cosine_topk", "ann_lsh_banded_pairs", "ann_ivf_topk",
         "ann_ivf_kmeans_cells", "ann_pq_codes", "ann_pq_adc_loaded",
+        "s18_rest_incremental_fold", "dedup_index_lookup",
         "stream_windowed_rates", "stream_conv_stats",
         "multimodal_features", "multimodal_frames",
     }

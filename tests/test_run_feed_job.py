@@ -248,3 +248,71 @@ def test_run_feed_cli_real_subprocess(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     b = LakeTable(spark, str(tmp_path / "b"))
     assert sorted(map(tuple, _live(b).collect())) == want
+
+
+def test_run_feed_index_minhash_cli(spark, tmp_path):
+    """Feed-driven MinHash index maintenance: --index-kind auto resolves
+    'minhash' from index.json; new documents sign+upsert, a changed
+    document replaces its band rows, a tombstone removes them."""
+    import run_feed
+
+    from pipelinewise_spark.functions import dedup_index
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "docs"), schema, ["doc_id"], num_buckets=2,
+        properties={"soft_delete": True},
+    )
+
+    def as_events(rows, lsn0, op="I"):
+        return spark.createDataFrame(
+            [(lsn0 + n, op, i, s) for n, (i, s) in enumerate(rows)],
+            "lsn long, op string, doc_id long, text string",
+        )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    merge_into(t, as_events(
+        [(1, base), (2, base + " again"), (3, "unrelated words entirely")],
+        0), batch_id=0, soft_delete=True)
+    idx = str(tmp_path / "idx")
+    dedup_index.save_minhash_index(
+        idx, t.read().select("doc_id", "text"),
+        id_col="doc_id", text_col="text", num_buckets=2,
+    )
+    v_fitted = t.refresh().version
+
+    # a new near-dup lands, doc 3 is rewritten to match BASE, doc 2 dies
+    merge_into(t, as_events([(4, base + " tonight")], 500),
+               batch_id=1, soft_delete=True)
+    merge_into(t, as_events([(3, base + " rewritten")], 600),
+               batch_id=2, soft_delete=True)
+    merge_into(t, as_events([(2, None)], 700, op="D"),
+               batch_id=3, soft_delete=True)
+    assert run_feed.main([
+        "--source", t.path,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "index",
+        "--target", idx,
+        "--starting-version", str(v_fitted),
+        "--timeout-sec", "180",
+    ]) == 0
+
+    probes = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {r["match_id"]
+           for r in dedup_index.minhash_lookup(spark, idx, probes,
+                                               min_est=0.5).collect()}
+    assert {1, 3, 4} <= got    # original + rewritten + incremental
+    assert 2 not in got        # tombstone propagated
+
+    # minhash never drifts: asking for retrain-on-drift is a usage error
+    import pytest
+
+    with pytest.raises(SystemExit):
+        run_feed.main([
+            "--source", t.path, "--checkpoint", str(tmp_path / "ck2"),
+            "--mode", "index", "--target", idx, "--retrain-on-drift",
+        ])
