@@ -63,8 +63,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="replica bucket count (default: match the source)")
     p.add_argument("--vec-col", default="embedding",
                    help="index mode (pq/ivf): the embedding column")
-    p.add_argument("--text-col", default="text",
-                   help="index mode (minhash): the document text column")
+    p.add_argument("--text-col", default=None,
+                   help="index mode (minhash): the document text column "
+                        "(default: the text_col pinned in the index.json "
+                        "at fit time — override only when the feed names "
+                        "the same content differently)")
     p.add_argument("--index-kind", choices=["pq", "ivf", "minhash", "auto"],
                    default="auto",
                    help="index mode: which maintenance pair to run "
@@ -221,11 +224,15 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--retrain-on-drift does not apply to a minhash "
                         "index: the hashing is stateless (no codebooks "
                         "to age), increments are exact forever")
-            payload_col = args.text_col
+            # the saved text_col is authoritative — a CLI default must
+            # not silently sign a different column than the fit did
+            payload_col = (args.text_col
+                           or dedup_index.load_minhash_index(
+                               args.target)["text_col"])
 
             def append(target, live, vec_col=None):
                 dedup_index.append_minhash_rows(
-                    target, live, text_col=args.text_col
+                    target, live, text_col=payload_col
                 )
 
             delete = dedup_index.delete_minhash_ids

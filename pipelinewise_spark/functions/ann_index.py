@@ -137,17 +137,32 @@ def vacuum_index(path: str) -> None:
     _cleanup_codes_dirs(path, {doc.get("codes_dir", _CODES_DIR)})
 
 
-def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
-    """CoW-upsert encoded rows: new ids insert, changed ids replace.
-    An EMPTY delta is a no-op (no commit). Returns the applied row
-    count (0 for the no-op) so callers can gate drift bookkeeping.
+def _check_one_per_id(df: DataFrame, id_col: str, *extra_aggs) -> tuple:
+    """Enforce the increment contract: ONE row per id. A change-feed
+    micro-batch routinely holds several versions of the same id (two
+    updates in a window, CoW bucket re-emits), and only the CALLER
+    knows which is latest (it has the feed's ``_lsn``); folding here
+    would pick one arbitrarily and could persist a stale row, so
+    duplicates are REJECTED loudly. Returns ``(total, distinct,
+    *extra_aggs results)`` from ONE aggregate pass so callers can ride
+    extra counters on the same scan."""
+    res = df.agg(
+        F.count(id_col), F.count_distinct(F.col(id_col)), *extra_aggs
+    ).first()
+    total, distinct = res[0], res[1]
+    if total and total != distinct:
+        raise ValueError(
+            f"index increment carries {total - distinct} duplicate "
+            f"{id_col} row(s); fold the delta to one row per id first "
+            f"(last-per-key by the feed's _lsn)"
+        )
+    return tuple(res)
 
-    The delta must carry ONE row per id — a change-feed micro-batch
-    routinely holds several versions of the same vector (two updates in
-    a window, CoW bucket re-emits), and only the CALLER knows which is
-    latest (it has the feed's ``_lsn``); folding here would pick one
-    arbitrarily and could persist a stale code, so duplicates are
-    REJECTED loudly instead.
+
+def _merge_rows(path: str, doc: dict, src: DataFrame, op: str) -> None:
+    """THE commit ritual every index mutation (PQ/IVF/minhash, insert
+    or delete) goes through: stamp the synthetic LSN and run the
+    bucket-pruned merge.
 
     The synthetic LSN is the target's next manifest version, so a
     replay can never REGRESS a row; increments deliberately avoid the
@@ -161,23 +176,23 @@ def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
     from pipelinewise_spark.cdc.merge import merge_into
     from pipelinewise_spark.lake.table import LakeTable
 
-    total, distinct = df.agg(
-        F.count(id_col), F.count_distinct(F.col(id_col))
-    ).first()
+    t = LakeTable(src.sparkSession, _doc_codes_path(path, doc))
+    src = src.withColumn(
+        "lsn", F.lit(int(t.version) + 1).cast("long")
+    ).withColumn("op", F.lit(op))
+    merge_into(t, src, stream="index")
+
+
+def _upsert_codes(path: str, doc: dict, df: DataFrame, id_col: str):
+    """CoW-upsert encoded rows: new ids insert, changed ids replace.
+    An EMPTY delta is a no-op (no commit). Returns the applied row
+    count (0 for the no-op) so callers can gate drift bookkeeping.
+    One row per id enforced (:func:`_check_one_per_id`); commit and
+    replay semantics in :func:`_merge_rows`."""
+    total = _check_one_per_id(df, id_col)[0]
     if total == 0:
         return 0
-    if total != distinct:
-        raise ValueError(
-            f"index increment carries {total - distinct} duplicate "
-            f"{id_col} row(s); fold the delta to one row per id first "
-            f"(last-per-key by the feed's _lsn)"
-        )
-    t = LakeTable(df.sparkSession, _doc_codes_path(path, doc))
-    ver = int(t.version)
-    src = df.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
-        "op", F.lit("I")
-    )
-    merge_into(t, src, stream="index")
+    _merge_rows(path, doc, df, "I")
     return int(total)
 
 
@@ -465,24 +480,33 @@ def append_pq_codes(
                             applied)
 
 
-def _delete_rows(path: str, doc: dict, ids_df: DataFrame) -> None:
-    """Shared removal path: bucket-pruned merge with D ops keyed on the
-    id alone; the non-key columns ride along as NULL before-images typed
-    from the table's own manifest (delete matches on the key)."""
-    from pipelinewise_spark.cdc.merge import merge_into
-    from pipelinewise_spark.lake.table import METADATA_COLS, LakeTable
-
-    id_col = doc["id_col"]
-    t = LakeTable(ids_df.sparkSession, _doc_codes_path(path, doc))
-    ver = int(t.version)
-    src = ids_df.select(F.col(id_col)).distinct()
-    for f in t.manifest["fields"]:
-        if f["logical"] != id_col and f["logical"] not in METADATA_COLS:
-            src = src.withColumn(f["logical"], F.lit(None).cast(f["type"]))
-    src = src.withColumn("lsn", F.lit(ver + 1).cast("long")).withColumn(
-        "op", F.lit("D")
+def _delete_rows(
+    path: str,
+    doc: dict,
+    keys_df: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+) -> None:
+    """Shared removal path: bucket-pruned merge with D ops keyed on
+    ``key_cols`` (default: the index's id column; the minhash index
+    passes its composite ``(id, band)``); the non-key columns ride
+    along as NULL before-images typed from the table's own manifest
+    (delete matches on the key)."""
+    from pipelinewise_spark.lake.table import (
+        METADATA_COLS, LakeTable, _struct_from_fields,
     )
-    merge_into(t, src, stream="index")
+
+    key_cols = key_cols or [doc["id_col"]]
+    t = LakeTable(keys_df.sparkSession, _doc_codes_path(path, doc))
+    src = keys_df.select(*key_cols).distinct()
+    for f in t.manifest["fields"]:
+        if f["logical"] not in key_cols and f["logical"] not in METADATA_COLS:
+            # manifest types for complex columns (e.g. the minhash
+            # index's array<string> slices) are JSON dicts, not DDL
+            # strings — go through the manifest's own type parser
+            dt = _struct_from_fields([(f["logical"], f["type"])])[0].dataType
+            src = src.withColumn(f["logical"], F.lit(None).cast(dt))
+    _merge_rows(path, doc, src, "D")
 
 
 def delete_pq_codes(path: str, ids_df: DataFrame) -> None:
@@ -653,7 +677,8 @@ def _load_doc_any(path: str) -> dict:
 
 
 def index_kind(path: str) -> str:
-    """``"pq"`` or ``"ivf"`` — lets a consumer (jobs/run_feed.py
+    """``"pq"``, ``"ivf"``, or ``"minhash"`` (the persisted dedup
+    index, :mod:`.dedup_index`) — lets a consumer (jobs/run_feed.py
     ``--index-kind auto``) dispatch maintenance without being told."""
     return _load_doc_any(path)["kind"]
 

@@ -47,46 +47,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipelinewise_spark.functions.ann_index import (
+    _CODES_DIR,
+    _check_one_per_id,
     _cleanup_codes_dirs,
+    _delete_rows,
     _doc_codes_path,
     _load_doc,
+    _merge_rows,
     _save_codes,
     _try_doc,
     _write_doc,
 )
-from pipelinewise_spark.functions.dedup_text import minhash_signatures
-
-
-def _band_rows(
-    sigs: DataFrame, id_col: str, *, num_hashes: int, bands: int
-) -> DataFrame:
-    """Signature frame (id, mh0..mhN) → one row per (id, band):
-    ``bkt`` = md5 over the band's hashes (EXACTLY the banding of
-    ``dedup_text.lsh_candidate_pairs`` — and of the DuckDB oracle),
-    ``mhs`` = the band's signature slice."""
-    rows = num_hashes // bands
-    entries = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        entries.append(F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bkt"),
-            F.array(*cols).alias("mhs"),
-        ))
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("e")
-    ).select(id_col, "e.band", "e.bkt", "e.mhs")
+from pipelinewise_spark.functions.dedup_text import band_rows, minhash_signatures
 
 
 def _sign(
     df: DataFrame, doc: dict, *, text_col: str | None = None
 ) -> DataFrame:
+    """Sign under the SAVED params; banding is the one shared
+    :func:`dedup_text.band_rows` definition (also what the DuckDB
+    oracle replays), with the signature slices the index stores."""
     sigs = minhash_signatures(
         df, doc["id_col"], text_col or doc["text_col"],
         num_hashes=doc["num_hashes"], delim=doc["delim"],
     )
-    return _band_rows(sigs, doc["id_col"],
-                      num_hashes=doc["num_hashes"], bands=doc["bands"])
+    return band_rows(sigs, doc["id_col"], num_hashes=doc["num_hashes"],
+                     bands=doc["bands"], with_slices=True)
+
+
+def _signable(doc: dict, text_col: str) -> "F.Column":
+    """True iff :func:`dedup_text.minhash_signatures` would emit a row:
+    the text is non-NULL and splits to at least one non-empty token.
+    Never NULL (the isNotNull conjunct short-circuits NULL text)."""
+    toks = F.split(F.lower(F.col(text_col)), doc["delim"])
+    return F.col(text_col).isNotNull() & F.exists(
+        toks, lambda w: w != F.lit("")
+    )
+
+
+def _expand_bands(ids_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """Each id → its ``bands`` (id, band) composite keys — the full key
+    set a document's rows occupy, for D-op merges."""
+    return ids_df.select(F.col(id_col)).distinct().select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(bands) - 1))
+        ).alias("band"),
+    )
 
 
 def save_minhash_index(
@@ -123,11 +130,18 @@ def save_minhash_index(
         path, rows, id_col, num_buckets,
         key_cols=[id_col, "band"], bucket_col=id_col,
     )
-    doc["fit_rows"] = int(df.count())
+    # signed documents (empty-text rows sign to nothing) — counted from
+    # the just-written rows, NOT a second full pass over the corpus
+    from pipelinewise_spark.lake.table import LakeTable
+
+    doc["fit_rows"] = int(
+        LakeTable(df.sparkSession,
+                  os.path.join(path, doc["codes_dir"])).read().count()
+    ) // int(bands)
     _write_doc(path, doc)
     keep = {doc["codes_dir"]}
-    if prior and prior.get("codes_dir") not in keep:
-        keep.add(prior["codes_dir"])  # reader grace: one prior snapshot
+    if prior:  # reader grace: one prior snapshot
+        keep.add(prior.get("codes_dir", _CODES_DIR))
     _cleanup_codes_dirs(path, keep)
     return doc
 
@@ -147,32 +161,32 @@ def append_minhash_rows(
     """INCREMENTAL maintenance: sign ONLY the delta (new or changed
     documents) against the saved params and CoW-upsert its band rows —
     changed documents replace all ``bands`` of their rows (same (id,
-    band) keys), new documents insert. Duplicate document ids in one
-    delta are rejected loudly (same contract as the ANN increments: only
-    the caller's ``_lsn`` knows which version is latest). Returns the
-    number of documents applied (0 for an empty delta)."""
-    from pipelinewise_spark.cdc.merge import merge_into
-    from pipelinewise_spark.lake.table import LakeTable
-
+    band) keys), new documents insert. A changed document whose NEW
+    text signs to NOTHING (NULL/empty/whitespace) gets its OLD band
+    rows DELETED instead — replace-with-nothing must stop the document
+    matching probes, not leave its stale signature behind. Duplicate
+    document ids in one delta are rejected loudly (same contract as the
+    ANN increments: only the caller's ``_lsn`` knows which version is
+    latest). Returns the number of documents applied (0 for an empty
+    delta)."""
     doc = _load_doc(path, "minhash")
     id_col = doc["id_col"]
-    total, distinct = new_df.agg(
-        F.count(id_col), F.count_distinct(F.col(id_col))
-    ).first()
+    tcol = text_col or doc["text_col"]
+    signable = _signable(doc, tcol)
+    total, _, n_signable = _check_one_per_id(
+        new_df, id_col, F.count(F.when(signable, 1))
+    )
     if total == 0:
         return 0
-    if total != distinct:
-        raise ValueError(
-            f"index increment carries {total - distinct} duplicate "
-            f"{id_col} row(s); fold the delta to one row per id first "
-            f"(last-per-key by the feed's _lsn)"
+    if n_signable:
+        _merge_rows(path, doc,
+                    _sign(new_df.where(signable), doc, text_col=tcol), "I")
+    if total - n_signable:
+        _delete_rows(
+            path, doc,
+            _expand_bands(new_df.where(~signable), id_col, doc["bands"]),
+            key_cols=[id_col, "band"],
         )
-    rows = _sign(new_df, doc, text_col=text_col)
-    t = LakeTable(new_df.sparkSession, _doc_codes_path(path, doc))
-    src = rows.withColumn(
-        "lsn", F.lit(int(t.version) + 1).cast("long")
-    ).withColumn("op", F.lit("I"))
-    merge_into(t, src, stream="index")
     return int(total)
 
 
@@ -181,29 +195,12 @@ def delete_minhash_ids(path: str, ids_df: DataFrame) -> None:
     ``bands`` (id, band) keys and run the same bucket-pruned D-op merge
     as the ANN deletes — a tombstoned document must stop matching
     probes, or dedup keeps steering survivors toward a ghost."""
-    from pipelinewise_spark.cdc.merge import merge_into
-    from pipelinewise_spark.lake.table import (
-        METADATA_COLS, LakeTable, _struct_from_fields,
-    )
-
     doc = _load_doc(path, "minhash")
-    id_col = doc["id_col"]
-    t = LakeTable(ids_df.sparkSession, _doc_codes_path(path, doc))
-    src = ids_df.select(F.col(id_col)).distinct().select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(0), F.lit(int(doc["bands"]) - 1))
-        ).alias("band"),
+    _delete_rows(
+        path, doc,
+        _expand_bands(ids_df, doc["id_col"], doc["bands"]),
+        key_cols=[doc["id_col"], "band"],
     )
-    for f in t.manifest["fields"]:
-        if f["logical"] not in (id_col, "band") and \
-                f["logical"] not in METADATA_COLS:
-            dt = _struct_from_fields([(f["logical"], f["type"])])[0].dataType
-            src = src.withColumn(f["logical"], F.lit(None).cast(dt))
-    src = src.withColumn(
-        "lsn", F.lit(int(t.version) + 1).cast("long")
-    ).withColumn("op", F.lit("D"))
-    merge_into(t, src, stream="index")
 
 
 def minhash_lookup(
@@ -218,8 +215,9 @@ def minhash_lookup(
     """Probe incoming documents against the index WITHOUT re-signing the
     corpus: sign the probe batch with the saved params, equi-join its
     band rows onto the stored buckets (probe side broadcast — the index
-    is scanned once, never shuffled), then price each candidate pair by
-    signature agreement. Columns: ``probe_id``, ``match_id``,
+    is never shuffled and scanned exactly TWICE: candidate discovery,
+    then the candidates' signature fetch), then price each candidate
+    pair by signature agreement. Columns: ``probe_id``, ``match_id``,
     ``est_jaccard`` (fraction of agreeing hash positions, rounded 6).
     Self-matches (a probe already in the index under the same id) are
     excluded. ``min_est`` pre-filters candidates; exact verification —
@@ -236,8 +234,8 @@ def minhash_lookup(
         probe_df, pid, text_col or doc["text_col"],
         num_hashes=doc["num_hashes"], delim=doc["delim"],
     )
-    p_rows = _band_rows(sigs, pid, num_hashes=doc["num_hashes"],
-                        bands=doc["bands"]).select(
+    p_rows = band_rows(sigs, pid, num_hashes=doc["num_hashes"],
+                       bands=doc["bands"]).select(
         F.col(pid).alias("__pid"), "band", "bkt"
     )
     cand = (
@@ -245,6 +243,10 @@ def minhash_lookup(
         .where(F.col("__pid") != F.col("__mid"))
         .select("__pid", "__mid")
         .distinct()
+        # materialize once: cand feeds BOTH the signature fetch's
+        # semi-join and the output join — without this, each consumer
+        # re-runs the candidate discovery (its own full index scan)
+        .localCheckpoint(eager=True)
     )
     # full signatures, candidates only: probe side from the signature
     # frame, corpus side reassembled from the candidate ids' band rows

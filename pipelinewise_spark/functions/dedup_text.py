@@ -129,6 +129,38 @@ def minhash_signatures(
     return ws.groupBy(id_col).agg(*aggs)
 
 
+def band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    with_slices: bool = False,
+) -> DataFrame:
+    """THE banding: signature frame (id, mh0..mhN) → one row per
+    (id, band) with ``bkt`` = md5 over '|'-joined hashes of the band's
+    ``num_hashes/bands``-hash slice. :func:`lsh_candidate_pairs`, the
+    persisted index (:mod:`..dedup_index`), and the DuckDB oracles all
+    consume this ONE definition — correctness of index/oracle parity
+    pins on it never forking. ``with_slices`` adds ``mhs``, the band's
+    raw signature slice (what the index stores so probes can price
+    candidates by agreement without re-reading document text)."""
+    rows = num_hashes // bands
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        fields = [
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bkt"),
+        ]
+        if with_slices:
+            fields.append(F.array(*cols).alias("mhs"))
+        buckets.append(F.struct(*fields))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*buckets)).alias("bb")
+    ).select(id_col, "bb.*")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -139,16 +171,8 @@ def lsh_candidate_pairs(
     """Band the signature (rows = num_hashes/bands) and emit doc pairs
     sharing at least one band bucket. The join is an equi-join on
     (band, bucket) — linear shuffle, no cross product."""
-    rows = num_hashes // bands
-    buckets = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        buckets.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkt"))
-        )
-    exploded = signatures.select(
-        F.col(id_col), F.explode(F.array(*buckets)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bkt")
+    exploded = band_rows(signatures, id_col,
+                         num_hashes=num_hashes, bands=bands)
     a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

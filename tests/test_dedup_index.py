@@ -152,6 +152,80 @@ def test_duplicate_delta_rejected_and_bad_bands(spark, tmp_path, corpus):
         path, _corpus(spark, [])) == 0
 
 
+def test_update_to_unsignable_text_deletes_band_rows(spark, tmp_path, corpus):
+    """A changed document whose NEW text signs to nothing (NULL, empty,
+    all-delimiter) must lose its OLD band rows — replace-with-nothing is
+    a delete, not a silent skip that leaves a stale signature matching
+    probes forever. Mixed deltas (real text + unsignable) split into the
+    I and D paths of the same call."""
+    from pipelinewise_spark.functions.ann_index import _doc_codes_path
+    from pipelinewise_spark.lake.table import LakeTable
+
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    delta = _corpus(spark, [
+        (2, ""),             # emptied
+        (4, None),           # nulled
+        (6, BASE + " anew"), # genuinely new — the I path in the same call
+    ])
+    assert dedup_index.append_minhash_rows(path, delta) == 3
+
+    doc = dedup_index.load_minhash_index(path)
+    t = LakeTable(spark, _doc_codes_path(path, doc))
+    left = {r["doc_id"] for r in t.read().select("doc_id").distinct().collect()}
+    assert 2 not in left and 4 not in left and 6 in left
+
+    got = {r["match_id"] for r in dedup_index.minhash_lookup(
+        spark, path, _corpus(spark, [(100, BASE)])).collect()}
+    assert 2 not in got and 4 not in got and {1, 6} <= got
+
+    # an index SAVED over a corpus containing unsignable docs simply
+    # doesn't index them (fit_rows counts signed docs only)
+    path2 = str(tmp_path / "mh2")
+    doc2 = dedup_index.save_minhash_index(
+        path2, corpus.unionByName(_corpus(spark, [(7, " "), (8, None)])),
+        id_col="doc_id", text_col="text", num_buckets=4)
+    assert doc2["fit_rows"] == 4
+
+
+def test_resave_over_default_layout_doc(spark, tmp_path, corpus):
+    """Re-saving over an index.json that predates the codes_dir field
+    (default layout) must not crash after the commit; the default
+    'codes' dir survives as the reader-grace snapshot."""
+    import json
+
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    with open(os.path.join(path, "index.json")) as fh:
+        doc = json.load(fh)
+    doc.pop("codes_dir")
+    with open(os.path.join(path, "index.json"), "w") as fh:
+        json.dump(doc, fh)
+
+    doc2 = dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    assert doc2["codes_dir"] != "codes"
+    assert os.path.isdir(os.path.join(path, "codes"))  # grace snapshot
+    got = {r["match_id"] for r in dedup_index.minhash_lookup(
+        spark, path, _corpus(spark, [(100, BASE)])).collect()}
+    assert 1 in got
+
+
+def test_probe_scans_index_at_most_twice(spark, tmp_path, corpus):
+    """The candidate set is materialized once, so a probe's output plan
+    re-reads the index only for the candidates' signature fetch — not
+    once per consumer of the candidate frame."""
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    probes = _corpus(spark, [(100, BASE)])
+    plan = dedup_index.minhash_lookup(spark, path, probes) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, plan  # +1 during checkpoint
+
+
 def test_probe_plan_broadcasts_probe_side(spark, tmp_path, corpus):
     """The index (corpus-sized) must never shuffle on a probe: the plan
     broadcasts the probe band rows into the bucket equi-join."""

@@ -253,7 +253,9 @@ def test_run_feed_cli_real_subprocess(spark, tmp_path):
 def test_run_feed_index_minhash_cli(spark, tmp_path):
     """Feed-driven MinHash index maintenance: --index-kind auto resolves
     'minhash' from index.json; new documents sign+upsert, a changed
-    document replaces its band rows, a tombstone removes them."""
+    document replaces its band rows, a tombstone removes them. The text
+    column is NOT named 'text' and no --text-col is passed: the CLI must
+    derive it from the text_col pinned in index.json at fit time."""
     import run_feed
 
     from pipelinewise_spark.functions import dedup_index
@@ -261,7 +263,7 @@ def test_run_feed_index_minhash_cli(spark, tmp_path):
 
     schema = StructType([
         StructField("doc_id", LongType()),
-        StructField("text", StringType()),
+        StructField("body", StringType()),
     ])
     t = LakeTable.create(
         spark, str(tmp_path / "docs"), schema, ["doc_id"], num_buckets=2,
@@ -271,7 +273,7 @@ def test_run_feed_index_minhash_cli(spark, tmp_path):
     def as_events(rows, lsn0, op="I"):
         return spark.createDataFrame(
             [(lsn0 + n, op, i, s) for n, (i, s) in enumerate(rows)],
-            "lsn long, op string, doc_id long, text string",
+            "lsn long, op string, doc_id long, body string",
         )
 
     base = "the quick brown fox jumps over the lazy dog"
@@ -280,8 +282,8 @@ def test_run_feed_index_minhash_cli(spark, tmp_path):
         0), batch_id=0, soft_delete=True)
     idx = str(tmp_path / "idx")
     dedup_index.save_minhash_index(
-        idx, t.read().select("doc_id", "text"),
-        id_col="doc_id", text_col="text", num_buckets=2,
+        idx, t.read().select("doc_id", "body"),
+        id_col="doc_id", text_col="body", num_buckets=2,
     )
     v_fitted = t.refresh().version
 
@@ -301,7 +303,7 @@ def test_run_feed_index_minhash_cli(spark, tmp_path):
         "--timeout-sec", "180",
     ]) == 0
 
-    probes = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    probes = spark.createDataFrame([(100, base)], "doc_id long, body string")
     got = {r["match_id"]
            for r in dedup_index.minhash_lookup(spark, idx, probes,
                                                min_est=0.5).collect()}
