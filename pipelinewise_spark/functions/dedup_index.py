@@ -203,6 +203,37 @@ def delete_minhash_ids(path: str, ids_df: DataFrame) -> None:
     )
 
 
+def dedup_gate(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    *,
+    min_est: float = 0.8,
+    id_col: str | None = None,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Ingest-time admission filter — the reason the index exists:
+    probe the incoming batch (:func:`minhash_lookup`) and return ONLY
+    the rows with NO indexed near-duplicate at ``est_jaccard >=
+    min_est``. A 100-TB corpus runs this gate per ingest batch (probe →
+    drop dupes → append survivors and :func:`append_minhash_rows`
+    them), paying O(batch) per batch instead of ever re-comparing the
+    corpus to itself. Unsignable rows (NULL/empty text) can't match
+    anything and pass through — the gate drops duplicates, not junk
+    (quality filters are a separate, composable stage). The anti-join's
+    right side is bounded by the batch's own hit set, so it broadcasts."""
+    doc = _load_doc(path, "minhash")
+    pid = id_col or doc["id_col"]
+    hits = minhash_lookup(
+        spark, path, batch_df,
+        id_col=pid, text_col=text_col, min_est=min_est,
+    )
+    return batch_df.join(
+        F.broadcast(hits.select(F.col("probe_id").alias(pid)).distinct()),
+        pid, "left_anti",
+    )
+
+
 def minhash_lookup(
     spark: SparkSession,
     path: str,

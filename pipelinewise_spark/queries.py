@@ -2146,6 +2146,64 @@ def dedup_index_lookup(spark, sf):
     ).select("probe_id", "match_id", "est_jaccard")
 
 
+_DEDUP_GATE_SQL = (
+    "WITH "
+    + _WS_CTE
+    + ",\n    sigs AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}|' || w)) AS mh{i}" for i in range(8))
+    + " FROM ws GROUP BY doc_id),\n"
+    + "    banded AS (SELECT doc_id, "
+    + ", ".join(
+        f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS b{b}" for b in range(4)
+    )
+    + " FROM sigs),\n"
+    + """    cand AS (
+      SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS match_id
+      FROM banded p JOIN banded c
+        ON p.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+       AND (p.b0 = c.b0 OR p.b1 = c.b1 OR p.b2 = c.b2 OR p.b3 = c.b3)),
+    dupes AS (
+      SELECT DISTINCT cand.probe_id
+      FROM cand
+      JOIN sigs ps ON ps.doc_id = cand.probe_id
+      JOIN sigs cs ON cs.doc_id = cand.match_id
+      WHERE ("""
+    + " + ".join(f"(ps.mh{i} = cs.mh{i})::INT" for i in range(8))
+    + """) / 8.0 >= 0.5)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND d.doc_id NOT IN (SELECT probe_id FROM dupes)
+    """
+)
+
+
+@q("dedup_index_gate", _DEDUP_GATE_SQL)
+def dedup_index_gate(spark, sf):
+    """The ingest-time ADMISSION GATE over the persisted dedup index —
+    the production composition the index exists for: an incoming batch
+    (doc_id % 10 == 0) probes the saved corpus index (% 10 != 0) and
+    only documents with NO indexed near-duplicate at est >= 0.5 survive
+    to be appended. O(batch) per ingest batch; the corpus is never
+    re-compared to itself. The oracle replays probe + threshold + anti
+    filter in SQL. Machinery (save/load/probe chain) is gated inside
+    the correctness window by dedup_index_lookup; this sits at the
+    registry tail as its composition. Reference: PipelineWise has no
+    dedup surface — training-data-pipeline extension
+    (functions/dedup_index.py:dedup_gate)."""
+    from pipelinewise_spark.functions import dedup_index
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    idx = _scratch_table_dir("dedup-minhash-gate", sf)
+    dedup_index.save_minhash_index(
+        idx, docs.where(F.col("doc_id") % 10 != 0),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, bands=4, num_buckets=8,
+    )
+    return dedup_index.dedup_gate(
+        spark, idx, docs.where(F.col("doc_id") % 10 == 0), min_est=0.5
+    ).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window: the correctness harness snapshots exactly the FIRST
 # GATE_WINDOW registry rows (CORRECTNESS_r04 proved queries at positions
@@ -2198,12 +2256,22 @@ for _name in _TAIL_BASELINES:
         if _name in ORACLES:
             ORACLES[_name] = ORACLES.pop(_name)
 
+# Tail entries that are NOT displaced baselines: compositions of
+# machinery already gated inside the window (their building blocks have
+# standing artifact rows; the composition stays oracle-checked via
+# tests/test_oracle_parity.py). They are defined after every gate so
+# insertion order already puts them past the window.
+_TAIL_COMPOSITIONS = [
+    "dedup_index_gate",  # = dedup_index_lookup probe + threshold + anti
+]
+
 #: The first GATE_WINDOW names — what the driver's correctness artifact
 #: samples. tests/test_round6_features.py asserts the §2 gates live here.
 GATE_QUERIES = list(QUERIES)[:GATE_WINDOW]
-assert len(QUERIES) - len(_TAIL_BASELINES) == GATE_WINDOW, (
-    f"registry holds {len(QUERIES)} queries with {len(_TAIL_BASELINES)} "
-    f"tail baselines; the gate window is exactly {GATE_WINDOW} — adding a "
+_TAIL = set(_TAIL_BASELINES) | set(_TAIL_COMPOSITIONS)
+assert len(QUERIES) - len(_TAIL) == GATE_WINDOW, (
+    f"registry holds {len(QUERIES)} queries with {len(_TAIL)} "
+    f"tail entries; the gate window is exactly {GATE_WINDOW} — adding a "
     f"query means retiring one gate to the documented tail (or vice versa)"
 )
-assert not set(GATE_QUERIES) & set(_TAIL_BASELINES)
+assert not set(GATE_QUERIES) & _TAIL

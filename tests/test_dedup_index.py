@@ -189,6 +189,28 @@ def test_update_to_unsignable_text_deletes_band_rows(spark, tmp_path, corpus):
     assert doc2["fit_rows"] == 4
 
 
+def test_dedup_gate_admits_only_novel_docs(spark, tmp_path, corpus):
+    """The ingest admission gate: near-dups of indexed documents are
+    dropped, novel documents pass, and unsignable (NULL/empty) rows
+    pass too — the gate drops duplicates, not junk."""
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    batch = _corpus(spark, [
+        (100, BASE + " again"),  # exact text of indexed doc 2 → dropped
+        (101, "genuinely novel prose about volcanic rock gardens"),
+        (102, None),             # unsignable → admitted, not swallowed
+    ])
+    got = {r["doc_id"] for r in dedup_index.dedup_gate(
+        spark, path, batch, min_est=0.5).collect()}
+    assert got == {101, 102}
+    # at threshold 0 with no candidates required... a permissive gate
+    # still never drops novel docs
+    got_hi = {r["doc_id"] for r in dedup_index.dedup_gate(
+        spark, path, batch, min_est=0.999).collect()}
+    assert {101, 102} <= got_hi  # only exact-signature matches dropped
+
+
 def test_resave_over_default_layout_doc(spark, tmp_path, corpus):
     """Re-saving over an index.json that predates the codes_dir field
     (default layout) must not crash after the commit; the default
