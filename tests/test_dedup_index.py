@@ -258,3 +258,87 @@ def test_probe_plan_broadcasts_probe_side(spark, tmp_path, corpus):
     plan = dedup_index.minhash_lookup(spark, path, probes) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------- property: increments converge to re-save -------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow tonight",
+    "how vexingly quick daft zebras jump around",
+]
+
+_op_st = st.fixed_dictionaries({
+    "doc_id": st.integers(min_value=0, max_value=5),
+    "kind": st.sampled_from(["set", "set", "empty", "delete"]),
+    "text": st.sampled_from(_TEXTS),
+})
+
+
+def _codes_rows(spark, path):
+    from pipelinewise_spark.functions.ann_index import _doc_codes_path
+    from pipelinewise_spark.lake.table import LakeTable
+
+    doc = dedup_index.load_minhash_index(path)
+    return {
+        (r["doc_id"], r["band"], r["bkt"], tuple(r["mhs"]))
+        for r in LakeTable(spark, _doc_codes_path(path, doc)).read().collect()
+    }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op_st, min_size=1, max_size=10),
+       split=st.integers(min_value=1, max_value=9))
+def test_random_increments_converge_to_resave(spark, tmp_path_factory,
+                                              ops, split):
+    """Any interleaving of inserts, updates, updates-to-unsignable, and
+    deletes applied INCREMENTALLY (feed-folded last-per-id per batch)
+    leaves the index byte-equal in content to a fresh save over the
+    final corpus state — the stateless-hashing claim, end to end."""
+    tmp = tmp_path_factory.mktemp("mhprop")
+    path = str(tmp / "inc")
+
+    state = {0: _TEXTS[0], 1: _TEXTS[1], 2: _TEXTS[2]}
+    dedup_index.save_minhash_index(
+        path, _corpus(spark, sorted(state.items())),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, bands=4, num_buckets=2,
+    )
+
+    for batch_ops in (ops[:split], ops[split:]):
+        if not batch_ops:
+            continue
+        folded = {}  # last-per-id, as the feed's fold guarantees
+        for op in batch_ops:
+            folded[op["doc_id"]] = op
+        dels = [i for i, op in folded.items() if op["kind"] == "delete"]
+        ups = [(i, "" if op["kind"] == "empty" else op["text"])
+               for i, op in folded.items() if op["kind"] != "delete"]
+        if ups:
+            dedup_index.append_minhash_rows(
+                path, _corpus(spark, sorted(ups)))
+        if dels:
+            dedup_index.delete_minhash_ids(
+                path, spark.createDataFrame([(i,) for i in sorted(dels)],
+                                            "doc_id long"))
+        for i, op in folded.items():
+            if op["kind"] == "delete":
+                state.pop(i, None)
+            else:
+                state[i] = "" if op["kind"] == "empty" else op["text"]
+
+    full = str(tmp / "full")
+    dedup_index.save_minhash_index(
+        full, _corpus(spark, sorted(state.items())),
+        id_col="doc_id", text_col="text",
+        num_hashes=8, bands=4, num_buckets=2,
+    )
+    assert _codes_rows(spark, path) == _codes_rows(spark, full)
