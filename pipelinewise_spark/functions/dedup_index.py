@@ -220,13 +220,17 @@ def dedup_gate(
     them), paying O(batch) per batch instead of ever re-comparing the
     corpus to itself. Unsignable rows (NULL/empty text) can't match
     anything and pass through — the gate drops duplicates, not junk
-    (quality filters are a separate, composable stage). The anti-join's
+    (quality filters are a separate, composable stage). The gate only
+    compares batch-vs-INDEX: two near-dup documents arriving in the
+    SAME batch both pass (and both get indexed) — run an intra-batch
+    pass first (:func:`dedup_text.lsh_candidate_pairs` over the batch)
+    when batches are large enough to self-collide. The anti-join's
     right side is bounded by the batch's own hit set, so it broadcasts."""
     doc = _load_doc(path, "minhash")
     pid = id_col or doc["id_col"]
     hits = minhash_lookup(
         spark, path, batch_df,
-        id_col=pid, text_col=text_col, min_est=min_est,
+        id_col=pid, text_col=text_col, min_est=min_est, _doc=doc,
     )
     return batch_df.join(
         F.broadcast(hits.select(F.col("probe_id").alias(pid)).distinct()),
@@ -242,6 +246,7 @@ def minhash_lookup(
     id_col: str | None = None,
     text_col: str | None = None,
     min_est: float = 0.0,
+    _doc: dict | None = None,
 ) -> DataFrame:
     """Probe incoming documents against the index WITHOUT re-signing the
     corpus: sign the probe batch with the saved params, equi-join its
@@ -253,10 +258,13 @@ def minhash_lookup(
     Self-matches (a probe already in the index under the same id) are
     excluded. ``min_est`` pre-filters candidates; exact verification —
     when wanted — is :func:`dedup_text.jaccard_for_pairs` over the
-    survivors, O(|pairs|) not O(n²)."""
+    survivors, O(|pairs|) not O(n²). ``_doc`` lets a caller that already
+    loaded the index doc (:func:`dedup_gate`) pass its snapshot through,
+    so one gate call reads ONE index.json state even if a re-save flips
+    it mid-flight."""
     from pipelinewise_spark.lake.table import LakeTable
 
-    doc = _load_doc(path, "minhash")
+    doc = _doc or _load_doc(path, "minhash")
     pid = id_col or doc["id_col"]
     idx = LakeTable(spark, _doc_codes_path(path, doc)).read().select(
         F.col(doc["id_col"]).alias("__mid"), "band", "bkt", "mhs"

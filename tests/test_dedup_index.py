@@ -204,11 +204,11 @@ def test_dedup_gate_admits_only_novel_docs(spark, tmp_path, corpus):
     got = {r["doc_id"] for r in dedup_index.dedup_gate(
         spark, path, batch, min_est=0.5).collect()}
     assert got == {101, 102}
-    # at threshold 0 with no candidates required... a permissive gate
-    # still never drops novel docs
+    # at a near-1.0 threshold only exact-signature matches are dropped;
+    # novel and unsignable docs still pass
     got_hi = {r["doc_id"] for r in dedup_index.dedup_gate(
         spark, path, batch, min_est=0.999).collect()}
-    assert {101, 102} <= got_hi  # only exact-signature matches dropped
+    assert {101, 102} <= got_hi
 
 
 def test_resave_over_default_layout_doc(spark, tmp_path, corpus):
@@ -280,14 +280,18 @@ _op_st = st.fixed_dictionaries({
 
 
 def _codes_rows(spark, path):
+    # Counter, not set: a regression that leaves a duplicate physical
+    # row beside the fresh one must fail the convergence comparison
+    from collections import Counter
+
     from pipelinewise_spark.functions.ann_index import _doc_codes_path
     from pipelinewise_spark.lake.table import LakeTable
 
     doc = dedup_index.load_minhash_index(path)
-    return {
+    return Counter(
         (r["doc_id"], r["band"], r["bkt"], tuple(r["mhs"]))
         for r in LakeTable(spark, _doc_codes_path(path, doc)).read().collect()
-    }
+    )
 
 
 @settings(
