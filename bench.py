@@ -472,7 +472,26 @@ def query_benches(spark) -> "Rows":
     return rows
 
 
+def _host_fingerprint() -> dict:
+    """Contention evidence for the artifact: 1/5/15-min loadavg plus a
+    fixed-work single-thread CPU control (~0.1 s on an idle box). A
+    reader comparing rounds can tell "code regressed" from "host was
+    busy" without re-running anything — the control row scales with
+    contention but is immune to any engine change (round 6's driver
+    window showed 2-3x maxima with min-values at round-5 levels, which
+    took a judge re-run to adjudicate)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return {
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "cpu_control_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
 def run_default() -> dict:
+    host_start = _host_fingerprint()
     spark = _spark(f"local[{CPUS}]")
     events_path = os.path.join(
         tempfile.gettempdir(), f"pw-bench-events-sf{SF}-{N_CONVS}x{TURNS}+{N_UPDATES}"
@@ -572,6 +591,7 @@ def run_default() -> dict:
         "n_change_events": cdc["n_events"],
         "final_rows": cdc["final_rows"],
         "parallelism": CPUS,
+        "host": {"start": host_start, "end": _host_fingerprint()},
     }
     if scale > 1:
         srow = rows.last[f"cdc_apply_{scale}x"]
@@ -604,6 +624,7 @@ def run_scaling(levels=None) -> dict:
     )
     singer = os.environ.get("PW_BENCH_SINGER", "0") == "1"
     stage = os.environ.get("PW_BENCH_STAGE", "apply")  # apply | transform
+    host_start = _host_fingerprint()
     results = {}
     for n in levels:
         spark = _spark(f"local[{n}]")
@@ -633,6 +654,7 @@ def run_scaling(levels=None) -> dict:
         "seconds": {f"local[{n}]": round(results[n]["sec"], 3) for n in levels},
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "host": {"start": host_start, "end": _host_fingerprint()},
     }
 
 

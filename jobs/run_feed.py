@@ -17,7 +17,10 @@ and drives one of three consumers:
   the target path: the reference's ``target-s3-csv`` shape
   (``singer-connectors/target-s3-csv``, flat delimited files an
   ``tap_s3_csv`` source reads straight back), point ``--target`` at
-  ``s3a://...`` for the real thing.
+  ``s3a://...`` for the real thing. ``--export-format singer`` emits
+  SCHEMA/RECORD/STATE framed text files (one per micro-batch, atomic
+  rename, resumable) — the lake becomes a singer TAP any reference
+  target can consume, closing the interop loop in both directions.
 - ``index``    keep a persisted PQ / IVF / MinHash-LSH index current
   (``--index-kind``; ``auto`` reads the kind from index.json): drop CoW
   re-emits via the index's feed-LSN watermark, fold the remainder
@@ -98,11 +101,21 @@ def main(argv: list[str] | None = None) -> int:
                         "O(touched-bucket) re-encodes per batch instead "
                         "of O(delta); correctness is unaffected either "
                         "way (re-encodes are same-content replaces)")
-    p.add_argument("--export-format", choices=["parquet", "csv"],
+    p.add_argument("--export-format", choices=["parquet", "csv", "singer"],
                    default="parquet",
-                   help="export mode output: parquet (default) or "
-                        "headered CSV — the reference's target-s3-csv "
-                        "shape")
+                   help="export mode output: parquet (default), headered "
+                        "CSV (the reference's target-s3-csv shape), or "
+                        "singer — SCHEMA/RECORD/STATE framed text files, "
+                        "one per micro-batch, that any singer target can "
+                        "consume (the lake becomes a TAP: full-circle "
+                        "interop with the reference's ecosystem)")
+    p.add_argument("--stream", default=None,
+                   help="--export-format singer: the stream name in the "
+                        "emitted frames (default: the source table's "
+                        "directory name)")
+    p.add_argument("--singer-state-every", type=int, default=1000,
+                   help="--export-format singer: STATE line cadence "
+                        "(reference: binlog.py UPDATE_BOOKMARK_PERIOD)")
     p.add_argument("--csv-delimiter", default=",",
                    help="--export-format csv field separator")
     p.add_argument("--csv-compression", choices=["none", "gzip"],
@@ -287,6 +300,49 @@ def main(argv: list[str] | None = None) -> int:
                 folded.unpersist()
 
         writer = feed.writeStream.foreachBatch(maintain)
+    elif args.export_format == "singer":  # export, tap shape
+        # The lake as a singer TAP: each micro-batch becomes ONE framed
+        # text file (SCHEMA, RECORDs in LSN order, STATE lines) under
+        # --target, named by batch id — a checkpoint replay rewrites the
+        # SAME file (tmp + atomic rename), so downstream consumption
+        # stays exactly-once. Singer framing is an inherently SERIAL
+        # text protocol (the reference pipes tap|target through one
+        # unix pipe), so the per-batch serialization is driver-side
+        # streaming (toLocalIterator — never the whole batch in driver
+        # memory); batch size is bounded by maxBytesPerPartition
+        # packing. CoW re-emits appear as repeat U records with their
+        # original lsn — idempotent upserts for any keyed singer target.
+        import os as _os
+
+        from pipelinewise_spark.singer.catalog import discover_lake_table
+        from pipelinewise_spark.singer.protocol import write_singer_file
+
+        stream_name = args.stream or _os.path.basename(
+            src.path.rstrip("/"))
+        entry = discover_lake_table(src, stream_name)
+        key_props = list(src.key_cols)
+        _os.makedirs(args.target, exist_ok=True)
+
+        def emit_singer(df, bid):
+            events = df.select(
+                *payload_cols,
+                F.col("_lsn").alias("lsn"),
+                F.when(F.col("_sdc_deleted_at").isNotNull(), "D")
+                .otherwise("U").alias("op"),
+                F.col("_sdc_extracted_at").alias("time_extracted"),
+            )
+            if events.limit(1).count() == 0:
+                return  # no empty frame files
+            tmp = _os.path.join(
+                args.target, f".batch-{int(bid):08d}.singer.tmp")
+            write_singer_file(
+                events, payload_cols, stream_name, entry["schema"],
+                key_props, tmp, state_every=args.singer_state_every,
+            )
+            _os.replace(tmp, _os.path.join(
+                args.target, f"batch-{int(bid):08d}.singer"))
+
+        writer = feed.writeStream.foreachBatch(emit_singer)
     elif args.export_format == "csv":  # export, target-s3-csv shape
         from pyspark.sql.types import (
             ArrayType, BinaryType, MapType, StructType,

@@ -45,12 +45,28 @@ def find_tables(root: str) -> list[str]:
     return sorted(out)
 
 
+#: the index kinds this engine persists; anything else holding an
+#: ``index.json`` is a foreign artifact the walk must not claim
+INDEX_KINDS = frozenset({"pq", "ivf", "minhash"})
+
+
 def find_indexes(root: str) -> list[str]:
+    """Every dir under ``root`` (inclusive) holding an ``index.json``
+    of a RECOGNIZED kind. An unrelated or unparseable ``index.json``
+    (some other tool's artifact under the lake root) is skipped and its
+    subtree keeps being walked — it must neither abort the whole status
+    command nor get its subdirs vacuumed by ``vacuum --indexes``."""
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
         if "index.json" in filenames:
-            out.append(dirpath)
-            dirnames[:] = []  # codes LakeTables inside are part of it
+            try:
+                with open(os.path.join(dirpath, "index.json")) as fh:
+                    kind = json.load(fh).get("kind")
+            except (OSError, ValueError, AttributeError):
+                kind = None
+            if kind in INDEX_KINDS:
+                out.append(dirpath)
+                dirnames[:] = []  # codes LakeTables inside are part of it
     return sorted(out)
 
 

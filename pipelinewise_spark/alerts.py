@@ -113,6 +113,21 @@ class SlackAlertHandler:
                 raise ValueError(
                     f"slack chat.postMessage returned {status}: {body[:200]}"
                 )
+            # Slack answers 200 even on failure — the verdict lives in
+            # the body's "ok" field ({"ok": false, "error":
+            # "channel_not_found"/"invalid_auth"}). The reference's
+            # slack SDK raises SlackApiError on ok:false; a handler
+            # that swallows it reports alerts as sent that Slack
+            # silently dropped.
+            try:
+                parsed = json.loads(body)
+            except (json.JSONDecodeError, TypeError):
+                parsed = None
+            if isinstance(parsed, dict) and parsed.get("ok") is not True:
+                raise ValueError(
+                    "slack chat.postMessage failed: "
+                    f"{parsed.get('error', body[:200])}"
+                )
 
 
 class VictoropsAlertHandler:

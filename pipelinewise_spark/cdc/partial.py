@@ -25,7 +25,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pipelinewise_spark.cdc.merge import merge_into
-from pipelinewise_spark.lake.table import LakeTable
+from pipelinewise_spark.lake.table import LSN_COL, SDC_DELETED_AT, LakeTable
+
+
+def _max_recorded_lsn(table: LakeTable) -> int:
+    """Best-effort high-water mark of stored ``_lsn`` values from the
+    manifest's per-file column bounds (no data scan). Files without
+    recorded bounds contribute nothing — callers use this as a FLOOR
+    under a bookmark-derived lsn, not as an exact max."""
+    phys = {f["logical"]: f["physical"] for f in table.manifest["fields"]}
+    lsn_phys = phys.get(LSN_COL, LSN_COL)
+    mx = 0
+    for st in table.manifest.get("file_stats", {}).values():
+        s = st.get(lsn_phys)
+        if s and s[1] is not None:
+            mx = max(mx, int(s[1]))
+    return mx
 
 
 def partial_sync(
@@ -80,9 +95,19 @@ def partial_sync(
             f"{column!r}; refusing a delete window wider than the export"
         )
     if lsn is None:
+        # Bookmarks alone are NOT a safe high-water mark: reset_state
+        # rewinds them below stored row _lsn values, and a partial sync
+        # stamped under that floor would silently classify every row as
+        # stale (merge carries the old rows, {'rows': 0}). Also floor on
+        # the manifest's recorded per-file _lsn bounds — zero-cost, no
+        # data scan.
         lsn = max(
-            (int(bm.get("lsn", 0) or 0) for bm in table.bookmarks.values()),
-            default=0,
+            max(
+                (int(bm.get("lsn", 0) or 0)
+                 for bm in table.bookmarks.values()),
+                default=0,
+            ),
+            _max_recorded_lsn(table),
         ) + 1
 
     keys = list(table.key_cols)
@@ -116,6 +141,12 @@ def partial_sync(
         except (ValueError, TypeError):
             tgt = table.to_df()
         tgt_range = tgt.where(F.col(column).between(F.lit(start), F.lit(end)))
+        # soft-delete tables keep tombstones visible in read(); without
+        # this filter every resync re-emits D ops for all historically-
+        # deleted keys in the range at a fresh LSN (re-tombstoning them
+        # and growing bucket rewrites with all-time deletes)
+        if SDC_DELETED_AT in tgt_range.columns:
+            tgt_range = tgt_range.where(F.col(SDC_DELETED_AT).isNull())
         gone = tgt_range.select(*keys).join(
             export.select(*keys), on=keys, how="left_anti"
         )

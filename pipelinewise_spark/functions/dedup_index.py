@@ -111,7 +111,15 @@ def save_minhash_index(
     protocol as the ANN indexes: codes land in a fresh versioned dir,
     ``index.json`` flips atomically, the immediately-superseded snapshot
     survives as reader grace (dropped on the next re-save or
-    ``ann_index.vacuum_index``)."""
+    ``ann_index.vacuum_index``).
+
+    Sizing ``num_hashes``: the default 16 prices ``est_jaccard`` in
+    1/16 steps — fine for a coarse gate at 0.8, coarse for
+    near-threshold decisions (a true-0.75 pair estimates ≥0.8 with
+    ~15% probability at 16 hashes, ~4% at 64). Raise to 64–128 when
+    the gate threshold sits near the duplicate/novel boundary at scale;
+    storage and probe cost grow linearly with it, nothing else
+    changes."""
     if num_hashes % bands:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
@@ -211,30 +219,97 @@ def dedup_gate(
     min_est: float = 0.8,
     id_col: str | None = None,
     text_col: str | None = None,
+    in_batch: bool = True,
 ) -> DataFrame:
     """Ingest-time admission filter — the reason the index exists:
     probe the incoming batch (:func:`minhash_lookup`) and return ONLY
-    the rows with NO indexed near-duplicate at ``est_jaccard >=
-    min_est``. A 100-TB corpus runs this gate per ingest batch (probe →
-    drop dupes → append survivors and :func:`append_minhash_rows`
-    them), paying O(batch) per batch instead of ever re-comparing the
-    corpus to itself. Unsignable rows (NULL/empty text) can't match
-    anything and pass through — the gate drops duplicates, not junk
-    (quality filters are a separate, composable stage). The gate only
-    compares batch-vs-INDEX: two near-dup documents arriving in the
-    SAME batch both pass (and both get indexed) — run an intra-batch
-    pass first (:func:`dedup_text.lsh_candidate_pairs` over the batch)
-    when batches are large enough to self-collide. The anti-join's
-    right side is bounded by the batch's own hit set, so it broadcasts."""
+    the rows with NO near-duplicate at ``est_jaccard >= min_est``,
+    checked against BOTH the persisted index AND the batch itself. A
+    100-TB corpus runs this gate per ingest batch (probe → drop dupes →
+    append survivors and :func:`append_minhash_rows` them), paying
+    O(batch) per batch instead of ever re-comparing the corpus to
+    itself. Unsignable rows (NULL/empty text) can't match anything and
+    pass through — the gate drops duplicates, not junk (quality filters
+    are a separate, composable stage).
+
+    The intra-batch pass (``in_batch=True``, the default — production
+    batches routinely self-collide; the reference's J1 in-batch dedup
+    is exactly "the batch checked against itself",
+    ``target_postgres/__init__.py:132-150``) bands the batch's OWN
+    signatures, self-joins on (band, bucket), prices each candidate
+    pair by signature agreement, and drops the LARGER id of every pair
+    at/above the threshold — deterministic min-id-wins, no iteration.
+    The two passes are independent: a row is admitted iff it has no
+    indexed near-dup AND no smaller-id in-batch near-dup (a chain a~b,
+    b~c with a hitting the index drops all three — near-transitivity
+    makes that the safe call for an admission gate; the offline
+    :func:`dedup_text.connected_components` is the tool when exact
+    cluster semantics matter). Set ``in_batch=False`` for batches
+    already deduped upstream.
+
+    Everything is O(batch): the batch is signed ONCE (the signature
+    frame is localCheckpointed and feeds the index probe, the
+    self-join, and the pair pricing), the index side is untouched by
+    the extra pass, and the final anti-join's right side is bounded by
+    the batch's own drop set, so it broadcasts.
+
+    Concurrency: one gate call reads ONE ``index.json`` snapshot (the
+    doc is loaded here and passed through to the lookup), but a gate
+    racing a concurrent ``save_minhash_index`` that wins the re-save
+    still admits against the just-superseded snapshot — the reader-
+    grace dir keeps it readable, nothing crashes, the admission is just
+    one save stale. Single-writer feed maintenance (``jobs/run_feed.py
+    --index-kind minhash``) is the documented deployment; under it the
+    race cannot occur."""
     doc = _load_doc(path, "minhash")
     pid = id_col or doc["id_col"]
+    tcol = text_col or doc["text_col"]
+    sigs = minhash_signatures(
+        batch_df, pid, tcol,
+        num_hashes=doc["num_hashes"], delim=doc["delim"],
+    )
+    if in_batch:
+        # five downstream consumers (probe band rows + probe sig fetch +
+        # self-join both sides + pair pricing) — materialize once
+        sigs = sigs.localCheckpoint(eager=True)
     hits = minhash_lookup(
         spark, path, batch_df,
-        id_col=pid, text_col=text_col, min_est=min_est, _doc=doc,
+        id_col=pid, text_col=tcol, min_est=min_est, _doc=doc, _sigs=sigs,
     )
+    drop = hits.select(F.col("probe_id").alias(pid))
+    if in_batch:
+        from pipelinewise_spark.functions.dedup_text import (
+            lsh_candidate_pairs,
+        )
+
+        pairs = lsh_candidate_pairs(
+            sigs, pid, num_hashes=doc["num_hashes"], bands=doc["bands"],
+        )
+        full = sigs.select(
+            F.col(pid).alias("__sid"),
+            F.array(*[F.col(f"mh{i}") for i in range(doc["num_hashes"])])
+            .alias("__sig"),
+        )
+        agree = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.__sig"), F.col("b.__sig"),
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ) / F.lit(doc["num_hashes"])
+        )
+        self_dups = (
+            pairs
+            .join(full.alias("a"), pairs["id_a"] == F.col("a.__sid"))
+            .join(full.alias("b"), pairs["id_b"] == F.col("b.__sid"))
+            .where(F.round(agree, 6) >= min_est)
+            .select(F.col("id_b").alias(pid))
+        )
+        drop = drop.unionByName(self_dups)
     return batch_df.join(
-        F.broadcast(hits.select(F.col("probe_id").alias(pid)).distinct()),
-        pid, "left_anti",
+        F.broadcast(drop.distinct()), pid, "left_anti",
     )
 
 
@@ -247,6 +322,7 @@ def minhash_lookup(
     text_col: str | None = None,
     min_est: float = 0.0,
     _doc: dict | None = None,
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe incoming documents against the index WITHOUT re-signing the
     corpus: sign the probe batch with the saved params, equi-join its
@@ -261,7 +337,9 @@ def minhash_lookup(
     survivors, O(|pairs|) not O(n²). ``_doc`` lets a caller that already
     loaded the index doc (:func:`dedup_gate`) pass its snapshot through,
     so one gate call reads ONE index.json state even if a re-save flips
-    it mid-flight."""
+    it mid-flight; ``_sigs`` likewise lets it pass the batch's already-
+    computed signature frame so the batch is signed ONCE per gate
+    call."""
     from pipelinewise_spark.lake.table import LakeTable
 
     doc = _doc or _load_doc(path, "minhash")
@@ -269,7 +347,7 @@ def minhash_lookup(
     idx = LakeTable(spark, _doc_codes_path(path, doc)).read().select(
         F.col(doc["id_col"]).alias("__mid"), "band", "bkt", "mhs"
     )
-    sigs = minhash_signatures(
+    sigs = _sigs if _sigs is not None else minhash_signatures(
         probe_df, pid, text_col or doc["text_col"],
         num_hashes=doc["num_hashes"], delim=doc["delim"],
     )

@@ -933,7 +933,12 @@ class LakeTable:
                 ).alias("null_keys"),
             )
         added = self.write_bucket_files(prepared)
-        if obs is not None and int(obs.get.get("null_keys") or 0):
+        # empty snapshot (a valid overwrite: "the table is now empty"):
+        # no files were written, so no rows and no null keys — and the
+        # Observation row may never have materialized (Spark's
+        # Observation.get raises a JVM toPyRow assertion when the
+        # observed node produced no output), so don't touch it
+        if obs is not None and added and int(obs.get.get("null_keys") or 0):
             raise NullKeyError(
                 f"{int(obs.get['null_keys'])} snapshot row(s) carry NULL "
                 f"in a primary-key column {self.key_cols}; keyed tables "

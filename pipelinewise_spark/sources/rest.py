@@ -371,6 +371,7 @@ def run_rest_sync(
     from pyspark.sql import types as T
 
     from pipelinewise_spark.cdc.merge import merge_into
+    from pipelinewise_spark.lake.table import SDC_DELETED_AT
 
     kw = dict(spec["kwargs"])
     kw.pop("stream", None)
@@ -457,7 +458,14 @@ def run_rest_sync(
         # stopped returning vanish-delete (partial.py's left-anti shape
         # over the whole key space)
         keys = list(table.key_cols)
-        gone = table.read().select(*keys).join(
+        # soft-delete tables keep tombstones visible in read(); without
+        # the IS NULL filter every run would re-emit D ops for all
+        # historically-deleted keys at a fresh LSN (repeat bucket
+        # rewrites growing with all-time deletes)
+        tgt = table.read()
+        if SDC_DELETED_AT in tgt.columns:
+            tgt = tgt.where(F.col(SDC_DELETED_AT).isNull())
+        gone = tgt.select(*keys).join(
             df.select(*keys), on=keys, how="left_anti"
         )
         if gone.limit(1).count():

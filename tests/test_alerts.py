@@ -35,7 +35,13 @@ class _Capture(BaseHTTPRequestHandler):
             "body": json.loads(body),
         })
         status = 500 if self.path.startswith("/fail") else 200
-        payload = json.dumps({"ok": status == 200}).encode()
+        if self.path.startswith("/notok"):
+            # Slack's signature failure mode: HTTP 200, ok:false in body
+            payload = json.dumps(
+                {"ok": False, "error": "channel_not_found"}
+            ).encode()
+        else:
+            payload = json.dumps({"ok": status == 200}).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
@@ -72,6 +78,20 @@ def test_slack_handler_payload_and_tap_channel(http_capture):
         assert r["body"]["text"] == "```boom```"
         att = r["body"]["attachments"][0]
         assert att == {"color": "danger", "title": "my_tap tap failed"}
+
+
+def test_slack_ok_false_raises(http_capture):
+    """Slack answers HTTP 200 with {"ok": false, "error": ...} on a bad
+    token/channel; a handler that only checks the status code reports
+    the alert as sent while Slack silently dropped it (the reference's
+    slack SDK raises SlackApiError on ok:false)."""
+    url, reqs = http_capture
+    h = SlackAlertHandler(
+        {"token": "xoxb-1", "channel": "#gone", "api_url": f"{url}/notok"}
+    )
+    with pytest.raises(ValueError, match="channel_not_found"):
+        h.send("my_tap tap failed")
+    assert len(reqs) == 1  # the POST happened; the failure came from ok
 
 
 def test_victorops_payload_and_non200(http_capture):

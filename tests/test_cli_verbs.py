@@ -502,6 +502,66 @@ def test_partial_sync_no_hard_delete_keeps_vanished(spark, tmp_path):
     assert got[("a", 1)] == "updated" and ("a", 2) in got
 
 
+def test_partial_sync_soft_delete_does_not_retombstone(spark, tmp_path):
+    """Soft-delete tables keep tombstones visible in read(); the
+    vanish-delete anti-join must exclude them, or EVERY resync re-emits
+    D ops for all historically-deleted keys in the range at a fresh LSN
+    (re-tombstoning them, bucket rewrites growing with all-time
+    deletes, spurious D rows in the change feed)."""
+    path = str(tmp_path / "t_partial_soft")
+    t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+                         properties={"soft_delete": True})
+    merge_into(t, _mk_events(spark, [("a", 1, "I", 1), ("a", 2, "I", 2)]),
+               stream="s1", batch_id=0)
+    merge_into(t, _mk_events(spark, [("a", 2, "D", 3)]),
+               stream="s1", batch_id=1)
+    tomb_lsn_before = {
+        r["turn_idx"]: r["_lsn"]
+        for r in t.read(include_tombstones=True).where(
+            "_sdc_deleted_at IS NOT NULL").collect()
+    }
+    assert tomb_lsn_before == {2: 3}
+    # resync covering the tombstoned key's range; the export legitimately
+    # doesn't contain the deleted key — that's not a NEW vanish
+    export = spark.createDataFrame(
+        [("a", 1, "resynced")], "conv_id string, turn_idx int, text string"
+    )
+    res = partial_sync(t, export, column="turn_idx", start=1, end=3,
+                       stream="s1")
+    assert res.get("tombstoned", 0) == 0 and res.get("deleted", 0) == 0
+    tomb_after = {
+        r["turn_idx"]: r["_lsn"]
+        for r in t.refresh().read(include_tombstones=True).where(
+            "_sdc_deleted_at IS NOT NULL").collect()
+    }
+    assert tomb_after == tomb_lsn_before  # original tombstone, original lsn
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in t.read().where("_sdc_deleted_at IS NULL").collect()}
+    assert got == {("a", 1): "resynced"}
+
+
+def test_partial_sync_default_lsn_survives_reset_state(spark, tmp_path):
+    """reset_state rewinds bookmarks BELOW stored row _lsn values; a
+    partial sync whose default lsn derives only from bookmarks would
+    stamp under the floor and silently classify every row as stale
+    (merge keeps the old rows, {'rows': 0}). The manifest's per-file
+    _lsn bounds provide the floor."""
+    path = str(tmp_path / "t_partial_reset")
+    t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)
+    merge_into(t, _mk_events(spark, [("a", 1, "I", 500), ("a", 2, "I", 501)]),
+               stream="s1", batch_id=0)
+    t.reset_state(bookmarks={"s1": {"lsn": 1}}, clear_pipelines="*")
+    export = spark.createDataFrame(
+        [("a", 1, "post-rewind")], "conv_id string, turn_idx int, text string"
+    )
+    res = partial_sync(t, export, column="turn_idx", start=1, end=2,
+                       stream="s1")
+    assert res["updated"] == 1 and res["deleted"] == 1
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in t.refresh().read().collect()}
+    assert got == {("a", 1): "post-rewind"}
+
+
 def test_cli_partial_sync_table_from_parquet(spark, tmp_path):
     path = str(tmp_path / "t_partial_cli")
     t = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY)

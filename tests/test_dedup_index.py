@@ -211,6 +211,40 @@ def test_dedup_gate_admits_only_novel_docs(spark, tmp_path, corpus):
     assert {101, 102} <= got_hi
 
 
+def test_dedup_gate_intra_batch_self_collision(spark, tmp_path, corpus):
+    """Two near-dup documents arriving in the SAME ingest batch: the
+    index probe alone sees neither (both are novel vs the corpus), so
+    without the in-batch pass both pass the gate and both get indexed.
+    The pass drops the LARGER id of each priced pair (min-id-wins,
+    deterministic), leaves singletons alone, and still lets unsignable
+    rows through. in_batch=False restores the probe-only behavior for
+    pre-deduped batches."""
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text",
+        num_hashes=16, bands=8, num_buckets=4)
+    novel = "volcanic rock gardens bloom under the midnight aurora sky"
+    batch = _corpus(spark, [
+        (200, novel),
+        (201, novel + " tonight"),   # in-batch near-dup of 200 → dropped
+        (202, "entirely unrelated prose on catalyst join reordering"),
+        (203, None),                 # unsignable → admitted
+    ])
+    got = {r["doc_id"] for r in dedup_index.dedup_gate(
+        spark, path, batch, min_est=0.5).collect()}
+    assert got == {200, 202, 203}
+    # probe-only mode: both members of the in-batch pair pass
+    got_off = {r["doc_id"] for r in dedup_index.dedup_gate(
+        spark, path, batch, min_est=0.5, in_batch=False).collect()}
+    assert got_off == {200, 201, 202, 203}
+    # a batch row that near-dups the INDEX is still dropped by the
+    # probe pass with in_batch on (the two passes compose)
+    mixed = _corpus(spark, [(300, BASE + " again"), (301, novel)])
+    got_mixed = {r["doc_id"] for r in dedup_index.dedup_gate(
+        spark, path, mixed, min_est=0.5).collect()}
+    assert got_mixed == {301}
+
+
 def test_resave_over_default_layout_doc(spark, tmp_path, corpus):
     """Re-saving over an index.json that predates the codes_dir field
     (default layout) must not crash after the commit; the default

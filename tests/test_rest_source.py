@@ -514,6 +514,55 @@ def test_run_rest_sync_full_table_vanish_delete(spark, tmp_path):
         up.stop()
 
 
+def test_run_rest_sync_full_table_soft_delete_no_retombstone(spark, tmp_path):
+    """On a soft-delete table, FULL_TABLE reconcile must compare the
+    fetch against LIVE rows only: tombstones stay visible in read(), so
+    without the IS NULL filter every sync re-emits D ops for all
+    historically-deleted keys at a fresh LSN (re-tombstoning them,
+    growing bucket rewrites with all-time deletes)."""
+    from pyspark.sql import types as T
+
+    from pipelinewise_spark.lake.table import LakeTable
+    from pipelinewise_spark.sources.rest import run_rest_sync
+
+    up = _MutableUpstream()
+    try:
+        up.records = [{"id": i, "updated_at": None, "val": f"v{i}"}
+                      for i in (1, 2, 3)]
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("updated_at", T.StringType()),
+            T.StructField("val", T.StringType()),
+        ])
+        table = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                                 ["id"], num_buckets=4,
+                                 properties={"soft_delete": True})
+        spec = {"kwargs": {
+            "stream": "s-soft", "base_url": up.url, "path": "/items",
+            "records_path": "", "pagination": "none",
+        }}
+        run_rest_sync(spark, table=table, spec=spec, stream="s-soft")
+        del up.records[1]  # id=2 vanishes upstream
+        table = table.refresh()
+        m = run_rest_sync(spark, table=table, spec=spec, stream="s-soft")
+        assert m["tombstoned"] == 1
+        tomb = {r["id"]: r["_lsn"]
+                for r in table.refresh().read().where(
+                    "_sdc_deleted_at IS NOT NULL").collect()}
+        assert set(tomb) == {2}
+        # the third sync sees an unchanged upstream: the already-
+        # tombstoned key must NOT be re-deleted at a fresh LSN
+        m = run_rest_sync(spark, table=table.refresh(), spec=spec,
+                          stream="s-soft")
+        assert m["tombstoned"] == 0 and m["deleted"] == 0
+        tomb_after = {r["id"]: r["_lsn"]
+                      for r in table.refresh().read().where(
+                          "_sdc_deleted_at IS NOT NULL").collect()}
+        assert tomb_after == tomb  # same tombstone, same lsn
+    finally:
+        up.stop()
+
+
 def test_run_rest_sync_schema_drift_adds_columns(spark, tmp_path):
     """S17 for the SaaS family: a field that appears upstream mid-stream
     is ADD-COLUMNed before the merge (historical rows read NULL); with

