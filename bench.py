@@ -468,6 +468,13 @@ def query_benches(spark) -> "Rows":
     rows.repeat("dedup_index_probe", lambda: timed(
         lambda: dedup_index.minhash_lookup(spark, mh_dir, incoming,
                                            min_est=0.5)))
+    # round 7: the full ADMISSION GATE over the same index — the probe
+    # above PLUS the intra-batch self-collision pass (sign once, band
+    # self-join, pair pricing) and the final anti-join; the delta vs
+    # dedup_index_probe prices what the in-batch pass adds per batch
+    rows.repeat("dedup_index_gate", lambda: timed(
+        lambda: dedup_index.dedup_gate(spark, mh_dir, incoming,
+                                       min_est=0.5)))
     shutil.rmtree(mh_dir, ignore_errors=True)
     return rows
 

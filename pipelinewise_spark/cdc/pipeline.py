@@ -49,6 +49,7 @@ class CdcPipeline:
         compact_delta_bytes: int | None = None,
         mode: str = "cow",
         validate: str = "permissive",
+        quarantine_path: str | None = None,
         widen: str = "version",
         filter_applied_lsn: bool = True,
         primary_key_required: bool = True,
@@ -85,8 +86,17 @@ class CdcPipeline:
         self.compact_delta_bytes = compact_delta_bytes
         self.mode = mode
         #: T12 — record-validation mode for singer ingest ("permissive" |
-        #: "strict"); strict FAILFASTs on malformed RECORD payloads.
+        #: "strict" | "quarantine"); strict FAILFASTs on malformed RECORD
+        #: payloads, quarantine diverts them to a dead-letter LakeTable
+        #: (``quarantine_path``, default ``<table>_quarantine`` sibling)
+        #: instead of nulling fields or killing the pipeline — the
+        #: production posture when one producer's bad day must not stop
+        #: every other stream. Quarantined rows are NOT merged and NOT
+        #: bookmark-tracked: fix upstream and re-inject their lines.
         self.validate = validate
+        self.quarantine_path = quarantine_path or (
+            table.path.rstrip("/") + "_quarantine"
+        )
         #: widening type changes (int→long, float→double) under
         #: auto-evolve: "version" (reference parity) or "promote"
         #: (in-place native promotion, evolution/drift.py).
@@ -207,7 +217,52 @@ class CdcPipeline:
         decoded = protocol.decode_records(
             lines, payload, stream=self.stream, validate=self.validate
         )
-        return self.apply_batch(decoded, batch_id=batch_id)
+        if self.validate != "quarantine":
+            return self.apply_batch(decoded, batch_id=batch_id)
+        from pyspark.sql import functions as F
+
+        bad = decoded.where(F.col("_sdc_rejected").isNotNull()).select(
+            F.lit(self.stream).alias("stream"),
+            F.col("_sdc_rejected").alias("value"),
+            F.col("_sdc_reject_reason").alias("reason"),
+        )
+        n_quarantined = self._quarantine(bad, batch_id)
+        good = decoded.where(F.col("_sdc_rejected").isNull()).drop(
+            "_sdc_rejected", "_sdc_reject_reason"
+        )
+        metrics = self.apply_batch(good, batch_id=batch_id)
+        metrics["quarantined"] = n_quarantined
+        return metrics
+
+    def _quarantine(self, bad: DataFrame, batch_id: Any) -> int:
+        """Dead-letter append: offending raw lines land in a keyless
+        LakeTable (created on first use) under the same replay guard as
+        the data merge (pipeline id suffixed ``-quarantine``), so a
+        checkpoint replay of the batch does not duplicate them. Written
+        BEFORE the data merge: if the merge fails mid-batch, the replay
+        skips the already-recorded quarantine and re-applies the merge —
+        both sides converge."""
+        if bad.limit(1).count() == 0:
+            return 0
+        from pyspark.sql.types import StringType, StructField
+
+        q_schema = StructType([
+            StructField("stream", StringType()),
+            StructField("value", StringType()),
+            StructField("reason", StringType()),
+        ])
+        if LakeTable.exists(self.quarantine_path):
+            qt = LakeTable(self.table.spark, self.quarantine_path)
+        else:
+            qt = LakeTable.create(
+                self.table.spark, self.quarantine_path, q_schema,
+                key_cols=[], num_buckets=min(4, self.table.num_buckets),
+            )
+        m = merge_into(
+            qt, bad, stream=self.stream, batch_id=batch_id,
+            pipeline_id=f"{self.pipeline_id}-quarantine",
+        )
+        return int(m.get("inserted") or 0)
 
     def replay(self, events: DataFrame, *, n_batches: int = 1, lsn_bounds: list[tuple[int, int]] | None = None) -> list[dict]:
         """Batch-mode replay of a bounded event set, split by LSN range —

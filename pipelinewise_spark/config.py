@@ -373,10 +373,19 @@ def build_project(
             tconf = _transform_config(table)
             if tconf:
                 transform = compile_transformations(tconf)
+            # reference parity: validate_records=true raises on malformed
+            # records (strict); the string forms select the engine's
+            # modes directly, incl. the dead-letter "quarantine"
+            vr = cfg.get("validate_records", False)
+            validate = (
+                vr if isinstance(vr, str)
+                else ("strict" if vr else "permissive")
+            )
             pipelines[stream] = CdcPipeline(
                 lt, stream=stream, transform=transform,
                 soft_delete=soft_delete or None,
                 widen=widen,
+                validate=validate,
                 # multi-partition Kafka micro-batches follow per-
                 # partition OFFSETS, not global LSN order — the LSN
                 # prefix filter would drop a lagging partition's frames

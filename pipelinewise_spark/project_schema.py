@@ -131,6 +131,16 @@ TAP_SCHEMA = {
         "target": {"type": "string", "minLength": 1},
         "db_conn": {"type": "object"},
         "batch_size_rows": {"type": "integer", "minimum": 1},
+        # T12 — record validation (reference: per-tap validate_records
+        # bool, raise on malformed). Engine extension: the string forms
+        # select the mode directly; "quarantine" diverts bad records to
+        # a dead-letter LakeTable instead of failing the pipeline.
+        "validate_records": {
+            "oneOf": [
+                {"type": "boolean"},
+                {"enum": ["permissive", "strict", "quarantine"]},
+            ],
+        },
         # failure alerting (reference: alert_handlers in config.yml,
         # send_alert/slack_alert_channel per tap — one YAML here)
         "send_alert": {"type": "boolean"},

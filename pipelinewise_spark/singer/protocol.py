@@ -96,9 +96,21 @@ def decode_records(
     ``validate`` — T12, the reference's opt-in record validation
     (``target_postgres/__init__.py:33-42``: reject, don't corrupt):
     ``"permissive"`` (default) nulls unparseable fields; ``"strict"``
-    fails the job on the first malformed RECORD payload (FAILFAST)."""
-    if validate not in ("permissive", "strict"):
-        raise ValueError(f"validate must be permissive|strict, got {validate!r}")
+    fails the job on the first malformed RECORD payload (FAILFAST);
+    ``"quarantine"`` keeps the batch flowing but TAGS malformed rows
+    instead of silently nulling them — the output gains two columns,
+    ``_sdc_rejected`` (the raw offending line text, NULL on clean rows;
+    Spark's ``columnNameOfCorruptRecord`` fires on both unparseable
+    JSON and per-field type mismatches) and ``_sdc_reject_reason``
+    (``malformed_record`` | ``unparseable_line``); wholly-unparseable
+    lines (framing so broken the stream can't be read) are INCLUDED in
+    quarantine output rather than silently dropped. The caller splits
+    on ``_sdc_rejected`` — see ``CdcPipeline`` for the dead-letter
+    wiring."""
+    if validate not in ("permissive", "strict", "quarantine"):
+        raise ValueError(
+            f"validate must be permissive|strict|quarantine, got {validate!r}"
+        )
     if isinstance(payload_schema, dict):
         payload_schema = jsonschema_to_struct(payload_schema)
     # build a fresh field list — StructType.add mutates, and the
@@ -131,6 +143,7 @@ def decode_records(
         # (type + stream + record + time_extracted) instead of 5 separate
         # JSON parses — the tap-faithful ingest profile is CPU-bound on
         # exactly this decode (BENCH.md singer_decode rows)
+        quarantine = validate == "quarantine"
         full = StructType(
             [
                 StructField("type", StringType()),
@@ -138,18 +151,45 @@ def decode_records(
                 StructField("record", envelope),
                 StructField("time_extracted", StringType()),
             ]
+            + ([StructField("_corrupt", StringType())] if quarantine else [])
         )
-        m = lines.select(F.from_json("value", full).alias("m"))
+        opts = (
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+            if quarantine else {}
+        )
+        m = lines.select(F.from_json("value", full, opts).alias("m"))
         cond = F.col("m.type") == "RECORD"
         if stream is not None:
             cond = cond & (F.col("m.stream") == stream)
+        if quarantine:
+            # framing so broken the type can't even be read belongs in
+            # the dead-letter output, not on the floor
+            cond = cond | (
+                F.col("m.type").isNull() & F.col("m._corrupt").isNotNull()
+            )
+        extra = (
+            [
+                F.col("m._corrupt").alias("_sdc_rejected"),
+                F.when(F.col("m._corrupt").isNull(), F.lit(None))
+                .when(F.col("m.type").isNull(), F.lit("unparseable_line"))
+                .otherwise(F.lit("malformed_record"))
+                .cast("string")
+                .alias("_sdc_reject_reason"),
+            ]
+            if quarantine else []
+        )
         parsed = m.where(cond).select(
             F.col("m.stream").alias("stream"),
             F.col("m.record").alias("r"),
             # permissive contract: unparseable timestamps null out (ANSI
             # mode would otherwise fail the whole batch on one bad line)
             F.try_to_timestamp(F.col("m.time_extracted")).alias("time_extracted"),
+            *extra,
         )
+    tail = (
+        ["_sdc_rejected", "_sdc_reject_reason"]
+        if validate == "quarantine" else []
+    )
     return parsed.select(
         F.col(f"r.{LSN_FIELD}").alias("lsn"),
         F.when(F.col(f"r.{DELETED_FIELD}").isNotNull(), F.lit("D"))
@@ -158,6 +198,7 @@ def decode_records(
         "stream",
         *[F.col(f"r.{f.name}").alias(f.name) for f in payload_schema.fields],
         "time_extracted",
+        *tail,
     )
 
 

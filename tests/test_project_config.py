@@ -193,3 +193,26 @@ schemas:
     pipe2 = proj2["pipeline"].pipelines["my_db-conversations"]
     assert pipe2.filter_applied_lsn is True
     assert pipe2.widen == "promote"
+
+
+def test_validate_records_yaml_forms(spark, tmp_path):
+    """Tap-YAML validate_records: reference bool form (true=strict) and
+    the engine's string forms all wire through to the pipelines; junk
+    values fail YAML validation, not mid-stream."""
+    from pipelinewise_spark.project_schema import TAP_SCHEMA, validate_config
+
+    cfg = load_tap_yaml(TAP_YAML)
+    for form, expect in [
+        (True, "strict"), (False, "permissive"),
+        ("quarantine", "quarantine"), ("strict", "strict"),
+    ]:
+        cfg2 = {**cfg, "validate_records": form}
+        assert validate_config(cfg2, TAP_SCHEMA) == []
+        proj = build_project(
+            spark, cfg2, lake_root=str(tmp_path / f"lake-{form}"),
+            schema_provider=_provider, num_buckets=2,
+        )
+        for pipe in proj["pipeline"].pipelines.values():
+            assert pipe.validate == expect, (form, pipe.validate)
+    bad = {**cfg, "validate_records": "yolo"}
+    assert validate_config(bad, TAP_SCHEMA) != []

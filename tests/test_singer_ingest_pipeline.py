@@ -75,3 +75,60 @@ def test_auto_compaction_after_batches(spark, tmp_path):
     assert table.manifest["summary"]["operation"] == "compact"
     # content survives compaction (append-only: every event is a row)
     assert table.read().count() == events.count()
+
+
+def test_quarantine_mode_diverts_malformed_records(spark, tmp_path):
+    """validate='quarantine' (dead-letter queue): malformed RECORD
+    payloads and wholly-unparseable lines land in a sibling quarantine
+    LakeTable with the raw line + reason; clean rows still merge; a
+    replay of the same batch duplicates neither side. Permissive mode
+    would have nulled the mismatched field and merged the husk;
+    strict mode would have killed the whole pipeline."""
+    events = generate_change_events(
+        spark, n_convs=6, turns_per_conv=2, n_updates=8, delete_pct=0
+    )
+    js = sschema.struct_to_jsonschema(TRANSCRIPT_SCHEMA)
+    f = str(tmp_path / "frames.jsonl")
+    protocol.write_singer_file(
+        events, PAYLOAD_COLS, "s", js, TRANSCRIPT_KEY, f
+    )
+    n_clean = sum(
+        1 for ln in open(f) if json.loads(ln)["type"] == "RECORD"
+    )
+    with open(f, "a") as fh:
+        # type mismatch: turn_idx is a string — permissive would null it
+        fh.write(json.dumps({
+            "type": "RECORD", "stream": "s",
+            "record": {"conv_id": "cX", "turn_idx": "NOT-A-NUMBER",
+                       "text": "t", "_sdc_lsn": 999},
+        }) + "\n")
+        # framing garbage: not even JSON
+        fh.write('{"type":"RECORD" this is not json\n')
+        # another stream's malformed record: NOT this pipeline's problem
+        fh.write(json.dumps({
+            "type": "RECORD", "stream": "other",
+            "record": {"conv_id": 7, "turn_idx": "x", "_sdc_lsn": 1},
+        }).replace('"conv_id": 7', '"turn_idx": []') + "\n")
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "tq"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=4,
+    )
+    pipe = CdcPipeline(table, stream="s", validate="quarantine")
+    m = pipe.ingest_singer_lines(spark.read.text(f), batch_id=0)
+    assert m["quarantined"] == 2  # bad record + garbage line, not 'other'
+    assert m["inserted"] > 0
+    # the husk did NOT merge
+    assert table.read().where(F.col("conv_id") == "cX").count() == 0
+    qt = LakeTable(spark, pipe.quarantine_path)
+    q = {r["reason"]: r["value"] for r in qt.read().collect()}
+    assert set(q) == {"malformed_record", "unparseable_line"}
+    assert "NOT-A-NUMBER" in q["malformed_record"]
+    # replay same batch: neither side duplicates
+    m2 = pipe.ingest_singer_lines(spark.read.text(f), batch_id=0)
+    assert m2.get("skipped") or m2.get("inserted", 0) == 0
+    assert qt.refresh().read().count() == 2
+    # clean rows all merged exactly once
+    assert table.read().count() == table.read().select(
+        "conv_id", "turn_idx").distinct().count()
+    assert n_clean > 0
