@@ -284,12 +284,13 @@ def dedup_gate(
 
         pairs = lsh_candidate_pairs(
             sigs, pid, num_hashes=doc["num_hashes"], bands=doc["bands"],
+            broadcast=True,  # batch-sized, checkpointed (no stats)
         )
-        full = sigs.select(
+        full = F.broadcast(sigs.select(
             F.col(pid).alias("__sid"),
             F.array(*[F.col(f"mh{i}") for i in range(doc["num_hashes"])])
             .alias("__sig"),
-        )
+        ))
         agree = (
             F.aggregate(
                 F.zip_with(
@@ -373,7 +374,13 @@ def minhash_lookup(
         .alias("__psig"),
     )
     m_sig = (
-        idx.join(cand.select("__mid").distinct(), "__mid", "left_semi")
+        # the candidate id set is O(batch-hits) small but comes out of a
+        # localCheckpoint (no size stats), so Catalyst won't auto-
+        # broadcast it — without the hint this semi-join SORT-MERGE
+        # shuffles the ENTIRE index per probe, the exact O(corpus)
+        # cost the index exists to avoid (caught by the gate plan test)
+        idx.join(F.broadcast(cand.select("__mid").distinct()),
+                 "__mid", "left_semi")
         .groupBy("__mid")
         .agg(F.flatten(F.transform(
             F.array_sort(F.collect_list(F.struct("band", "mhs"))),

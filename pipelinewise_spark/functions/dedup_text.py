@@ -167,13 +167,20 @@ def lsh_candidate_pairs(
     *,
     num_hashes: int = 16,
     bands: int = 4,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) and emit doc pairs
     sharing at least one band bucket. The join is an equi-join on
-    (band, bucket) — linear shuffle, no cross product."""
+    (band, bucket) — linear shuffle, no cross product. ``broadcast``
+    hints one side of the self-join: right for batch-sized inputs with
+    no stats (a localCheckpointed ingest batch would otherwise
+    sort-merge), wrong for corpus-scale offline dedup (the default)."""
     exploded = band_rows(signatures, id_col,
                          num_hashes=num_hashes, bands=bands)
-    a, b_ = exploded.alias("a"), exploded.alias("b")
+    if broadcast:
+        a, b_ = F.broadcast(exploded).alias("a"), exploded.alias("b")
+    else:
+        a, b_ = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
             b_,

@@ -294,6 +294,26 @@ def test_probe_plan_broadcasts_probe_side(spark, tmp_path, corpus):
     assert "BroadcastHashJoin" in plan
 
 
+def test_gate_plan_never_shuffles_index(spark, tmp_path, corpus):
+    """The full admission gate (index probe + intra-batch pass + final
+    anti-join) keeps the probe's scale shape: the corpus-sized index
+    parquet appears at most once in the output plan (the candidate
+    discovery scan happened during the eager localCheckpoint), every
+    join against batch-derived frames is a broadcast, and the index
+    side never exchanges. The in-batch self-join operates on the
+    checkpointed signature frame only — O(batch), index untouched."""
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
+    batch = _corpus(spark, [(100, BASE), (101, BASE + " encore")])
+    plan = dedup_index.dedup_gate(spark, path, batch, min_est=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: nothing here should ever need one
+    assert "SortMergeJoin" not in plan, plan
+
+
 # ------------------- property: increments converge to re-save -------------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
