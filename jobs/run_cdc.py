@@ -20,7 +20,13 @@ Modes:
   SIGTERM/SIGINT stop it cleanly (exit 0, checkpoint resumes — the
   reference's ``stop_tap``);
 - ``replay``   batch replay of the whole event set in --batches chunks;
-- ``snapshot`` initial load from --snapshot parquet, bookmark at --lsn0.
+- ``snapshot`` initial load from --snapshot parquet, bookmark at --lsn0;
+- ``singer``   --events is a directory of singer-framed TEXT files
+  (SCHEMA/RECORD/STATE lines — a captured tap stdout, or what
+  ``run_feed --export-format singer`` emits): SCHEMA messages drive
+  schema drift mid-stream, ``--validate`` selects T12 record validation
+  (``quarantine`` = dead-letter table), and the resume/exactly-once
+  contract is identical to ``stream``.
 
 The table is created on first run from the transcript schema (or
 --append-only for a keyless append table).
@@ -58,7 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True, help="LakeTable root path (or lake ROOT with --project)")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (mode=stream)")
     p.add_argument("--stream", default="default")
-    p.add_argument("--mode", choices=["stream", "replay", "snapshot"], default="stream")
+    p.add_argument("--mode", choices=["stream", "replay", "snapshot", "singer"],
+               default="stream",
+               help="singer: --events is a dir of singer-framed TEXT files (SCHEMA/RECORD/STATE lines — a captured tap stdout, or run_feed --export-format singer output); SCHEMA messages drive drift, --validate picks the record-validation mode")
     p.add_argument("--batches", type=int, default=1, help="replay batch count")
     p.add_argument("--snapshot", help="snapshot parquet path (mode=snapshot)")
     p.add_argument("--lsn0", type=int, help="log position captured BEFORE snapshot export")
@@ -67,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--transform-config", help="JSON file: transform-field mask list")
+    p.add_argument("--validate",
+                   choices=["permissive", "strict", "quarantine"],
+                   default="permissive",
+                   help="mode=singer record validation (T12): strict FAILFASTs on the first malformed RECORD; quarantine diverts bad lines to a dead-letter LakeTable instead of failing")
+    p.add_argument("--quarantine-path", default=None,
+                   help="--validate quarantine: dead-letter table path (default <table>_quarantine)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--sync-tables",
                    help="--project mode: comma-separated stream names to "
@@ -422,6 +436,8 @@ def main(argv: list[str] | None = None) -> int:
         soft_delete=None,
         transform=transform,
         compact_every=args.compact_every,
+        validate=args.validate,
+        quarantine_path=args.quarantine_path,
         # --append-only is the CLI's explicit opt-out of the reference's
         # primary_key_required guard (a keyless table without the flag
         # errors rather than silently duplicating on replay)
@@ -440,7 +456,39 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if not args.events:
-        p.error("--events required for mode=stream/replay")
+        p.error("--events required for mode=stream/replay/singer")
+    if args.mode == "singer":
+        # the tap/target loop over files: any singer-framed text lands
+        # in the lake with the same exactly-once and resume contract as
+        # the parquet change log (and our own --export-format singer
+        # output round-trips)
+        if not args.checkpoint:
+            p.error("--checkpoint required for mode=singer")
+        if args.continuous:
+            from pipelinewise_spark.streaming.control import (
+                run_until_stopped,
+            )
+
+            q = pipe.run_singer_stream(
+                args.events, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=False,
+                processing_time=f"{args.trigger_sec} seconds",
+            )
+            run_until_stopped(q)
+        else:
+            pipe.run_singer_stream(
+                args.events, args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        print(json.dumps({
+            "mode": "singer",
+            "batches": len(pipe.history),
+            "bookmarks": table.bookmarks,
+            "version": table.refresh().version,
+            "metrics": pipe.history,
+        }, default=str))
+        return 0
     if args.mode == "replay":
         metrics = pipe.replay(spark.read.parquet(args.events), n_batches=args.batches)
     else:

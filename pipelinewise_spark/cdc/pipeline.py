@@ -328,6 +328,47 @@ class CdcPipeline:
             query.awaitTermination(timeout_sec)
         return query
 
+    def run_singer_stream(
+        self,
+        frames_path: str,
+        checkpoint_dir: str,
+        *,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        max_files_per_trigger: int | None = None,
+        timeout_sec: float | None = None,
+    ):
+        """Tail a directory of singer-framed TEXT files (SCHEMA / RECORD
+        / STATE lines — what ``jobs/run_feed.py --export-format singer``
+        emits, or any reference tap's stdout captured to files) and run
+        each micro-batch through :meth:`ingest_singer_lines`: SCHEMA
+        messages drive drift mid-stream, RECORDs decode under the
+        pipeline's ``validate`` mode (incl. the quarantine dead-letter
+        path). Frame ORDER within a batch doesn't matter — control
+        messages are collected wholesale and records fold last-per-key
+        by LSN — so the distributed text read needs no ordering
+        guarantee. Exactly-once is the same two-layer guard as every
+        other source: Spark's checkpoint + the manifest batch-id
+        guard."""
+        spark = self.table.spark
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        source = reader.text(frames_path)
+        writer = source.writeStream.foreachBatch(
+            lambda df, bid: self.ingest_singer_lines(df, batch_id=bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(timeout_sec)
+        return query
+
 
 class MultiStreamPipeline:
     """Routes a mixed change stream (many tables in one log — the

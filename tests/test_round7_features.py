@@ -108,3 +108,71 @@ def test_status_skips_foreign_index_json(spark, tmp_path, capsys):
     idx = str(lake / "idx" / "pq")
     ann_index.save_pq_index(idx, codes, cbs, fit_df=t.read())
     assert status.find_indexes(str(lake)) == [idx]
+
+
+# ---------------------------------------------------------------------------
+# run_cdc --mode singer: the tap/target loop over files — our own singer
+# export feeds run_cdc's singer mode, CLI to CLI
+
+
+def test_run_cdc_singer_mode_tap_target_loop(spark, tmp_path):
+    import sys as _sys
+
+    _sys.path.insert(0, "jobs")
+    import run_cdc
+    import run_feed
+
+    from pipelinewise_spark.cdc.events import (
+        TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA,
+    )
+    from pipelinewise_spark.cdc.gen import generate_change_events
+    from pipelinewise_spark.cdc.merge import merge_into
+
+    ev = generate_change_events(
+        spark, n_convs=8, turns_per_conv=3, n_updates=12, delete_pct=10
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPT_SCHEMA, TRANSCRIPT_KEY,
+        num_buckets=2, properties={"soft_delete": True},
+    )
+    merge_into(src, ev, batch_id=0, soft_delete=True)
+    frames = str(tmp_path / "frames")
+    assert run_feed.main([
+        "--source", src.path, "--checkpoint", str(tmp_path / "ck_exp"),
+        "--mode", "export", "--target", frames,
+        "--export-format", "singer", "--stream", "default",
+        "--timeout-sec", "120",
+    ]) == 0
+
+    dst = str(tmp_path / "dst")
+    args = [
+        "--events", frames, "--table", dst,
+        "--checkpoint", str(tmp_path / "ck_tap"),
+        "--mode", "singer", "--stream", "default",
+        "--soft-delete", "--num-buckets", "2",
+    ]
+    assert run_cdc.main(args) == 0
+
+    def live(t):
+        return sorted(map(tuple, (
+            t.refresh().read().where("_sdc_deleted_at IS NULL")
+            .select("conv_id", "turn_idx", "text").collect()
+        )))
+
+    dst_t = LakeTable(spark, dst)
+    assert live(src) == live(dst_t)
+
+    # second window: more changes at higher LSNs, re-export, rerun the
+    # SAME checkpoints — only the new frames apply, states converge
+    more = generate_change_events(
+        spark, n_convs=8, turns_per_conv=3, n_updates=6, delete_pct=20,
+    ).withColumn("lsn", F.col("lsn") + F.lit(50_000))
+    merge_into(src, more, batch_id=1, soft_delete=True)
+    assert run_feed.main([
+        "--source", src.path, "--checkpoint", str(tmp_path / "ck_exp"),
+        "--mode", "export", "--target", frames,
+        "--export-format", "singer", "--stream", "default",
+        "--timeout-sec", "120",
+    ]) == 0
+    assert run_cdc.main(args) == 0
+    assert live(src) == live(dst_t)
