@@ -63,7 +63,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--table", required=True, help="LakeTable root path (or lake ROOT with --project)")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (mode=stream)")
-    p.add_argument("--stream", default="default")
+    p.add_argument("--stream", default=None,
+                   help="stream name (default: 'default'; mode=singer "
+                        "auto-detects it from the frames' SCHEMA lines "
+                        "when omitted — a silent mismatch would ingest "
+                        "zero records)")
     p.add_argument("--mode", choices=["stream", "replay", "snapshot", "singer"],
                default="stream",
                help="singer: --events is a dir of singer-framed TEXT files (SCHEMA/RECORD/STATE lines — a captured tap stdout, or run_feed --export-format singer output); SCHEMA messages drive drift, --validate picks the record-validation mode")
@@ -108,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--trigger-sec", type=float, default=2.0,
                    help="--continuous micro-batch cadence (seconds)")
     args = p.parse_args(argv)
+    if args.stream is None and args.mode != "singer":
+        args.stream = "default"  # singer mode keeps None = auto-detect
 
     if args.pidfile:
         import atexit
@@ -412,6 +418,34 @@ def main(argv: list[str] | None = None) -> int:
             # truth for merge AND read tombstone visibility)
             properties={"soft_delete": bool(args.soft_delete)},
         )
+
+    if args.mode == "singer" and args.stream is None:
+        # decode_records drops every RECORD of a non-matching stream,
+        # so a default-vs-exported name mismatch would "succeed" with
+        # an empty table — detect from the frames instead of guessing.
+        # Resolved BEFORE the transform compile and pipe construction
+        # so both see the real stream name.
+        if not args.events:
+            p.error("--events required for mode=singer")
+        from pyspark.sql import functions as F
+
+        found = [
+            r["s"] for r in spark.read.text(args.events)
+            .where(F.get_json_object("value", "$.type").isin(
+                "SCHEMA", "RECORD"))
+            .select(F.get_json_object("value", "$.stream").alias("s"))
+            .where(F.col("s").isNotNull()).distinct().collect()
+        ]
+        if len(found) == 1:
+            args.stream = found[0]
+            print(f"auto-detected stream {found[0]!r} from frames",
+                  file=sys.stderr)
+        elif not found:
+            p.error(f"{args.events}: no singer frames with a stream "
+                    f"field found; pass --stream explicitly")
+        else:
+            p.error(f"{args.events} carries {len(found)} streams "
+                    f"({sorted(found)}); pass --stream explicitly")
 
     transform = None
     if args.transform_config:

@@ -179,7 +179,13 @@ def main(argv: list[str] | None = None) -> int:
             .alias("op"),
         )
 
-    if args.mode in ("replica", "index") and src.key_cols and not (
+    # singer export is replication too: its D records come from
+    # _sdc_deleted_at, which a hard-delete CoW rewrite never emits —
+    # same silent-divergence failure as replica/index
+    if (
+        args.mode in ("replica", "index")
+        or (args.mode == "export" and args.export_format == "singer")
+    ) and src.key_cols and not (
         src.manifest["properties"].get("soft_delete", False)
     ):
         # a hard-delete source's CoW rewrite just DROPS the row — the

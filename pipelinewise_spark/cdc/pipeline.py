@@ -91,8 +91,11 @@ class CdcPipeline:
         #: (``quarantine_path``, default ``<table>_quarantine`` sibling)
         #: instead of nulling fields or killing the pipeline — the
         #: production posture when one producer's bad day must not stop
-        #: every other stream. Quarantined rows are NOT merged and NOT
-        #: bookmark-tracked: fix upstream and re-inject their lines.
+        #: every other stream. Quarantined rows are NOT merged: to
+        #: recover one, fix the line and re-inject it with a FRESH
+        #: ``_sdc_lsn`` above the stream's current bookmark — its
+        #: original lsn is by then below the bookmark and the merge's
+        #: replay filter would silently drop it as already-applied.
         self.validate = validate
         self.quarantine_path = quarantine_path or (
             table.path.rstrip("/") + "_quarantine"
@@ -221,18 +224,25 @@ class CdcPipeline:
             return self.apply_batch(decoded, batch_id=batch_id)
         from pyspark.sql import functions as F
 
-        bad = decoded.where(F.col("_sdc_rejected").isNotNull()).select(
-            F.lit(self.stream).alias("stream"),
-            F.col("_sdc_rejected").alias("value"),
-            F.col("_sdc_reject_reason").alias("reason"),
-        )
-        n_quarantined = self._quarantine(bad, batch_id)
-        good = decoded.where(F.col("_sdc_rejected").isNull()).drop(
-            "_sdc_rejected", "_sdc_reject_reason"
-        )
-        metrics = self.apply_batch(good, batch_id=batch_id)
-        metrics["quarantined"] = n_quarantined
-        return metrics
+        # the split consumes the decode THREE times (bad probe, bad
+        # append, good merge) and the singer decode is exactly the CPU
+        # cost this module's fast path exists to pay once — pin it
+        decoded = decoded.persist()
+        try:
+            bad = decoded.where(F.col("_sdc_rejected").isNotNull()).select(
+                F.lit(self.stream).alias("stream"),
+                F.col("_sdc_rejected").alias("value"),
+                F.col("_sdc_reject_reason").alias("reason"),
+            )
+            n_quarantined = self._quarantine(bad, batch_id)
+            good = decoded.where(F.col("_sdc_rejected").isNull()).drop(
+                "_sdc_rejected", "_sdc_reject_reason"
+            )
+            metrics = self.apply_batch(good, batch_id=batch_id)
+            metrics["quarantined"] = n_quarantined
+            return metrics
+        finally:
+            decoded.unpersist()
 
     def _quarantine(self, bad: DataFrame, batch_id: Any) -> int:
         """Dead-letter append: offending raw lines land in a keyless
@@ -241,11 +251,28 @@ class CdcPipeline:
         checkpoint replay of the batch does not duplicate them. Written
         BEFORE the data merge: if the merge fails mid-batch, the replay
         skips the already-recorded quarantine and re-applies the merge —
-        both sides converge."""
+        both sides converge.
+
+        The rows carry a synthetic monotonic ``lsn`` (the numeric batch
+        id when there is one, else wall-clock µs): without it, an
+        append-only source with no lsn column hits the
+        ExactlyOnceWindowError guard once 1024 quarantining batches
+        evict the replay window — the DLQ would brick the pipeline it
+        exists to protect. A numeric batch id doubles as the bookmark
+        backstop (a post-eviction replay of batch N folds under
+        ``lsn > N`` exactly like a change event would)."""
         if bad.limit(1).count() == 0:
             return 0
+        import time as _time
+
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StringType, StructField
 
+        try:
+            q_lsn = int(batch_id)
+        except (TypeError, ValueError):
+            q_lsn = int(_time.time() * 1_000_000)
+        bad = bad.withColumn("lsn", F.lit(q_lsn).cast("long"))
         q_schema = StructType([
             StructField("stream", StringType()),
             StructField("value", StringType()),

@@ -274,6 +274,11 @@ def write_singer_file(
     Driver-side writer for fixtures/tests — the scale path ships parquet
     or Kafka, not text frames. RECORDs are forced onto ``stream`` so the
     frames stay self-consistent with the SCHEMA line."""
+    if state_every < 1:
+        raise ValueError(
+            f"state_every must be >= 1, got {state_every} (a final STATE "
+            f"line is always written; there is no 'no STATE' mode)"
+        )
     events = events.withColumn("stream", F.lit(stream))
     lines: Iterator = (
         encode_records(events, payload_cols)

@@ -137,10 +137,13 @@ def test_run_cdc_singer_mode_tap_target_loop(spark, tmp_path):
     )
     merge_into(src, ev, batch_id=0, soft_delete=True)
     frames = str(tmp_path / "frames")
+    # no --stream on either side: the export names the stream after the
+    # source dir ('src'); the ingest AUTO-DETECTS it from the frames —
+    # the default-vs-exported mismatch used to "succeed" with 0 records
     assert run_feed.main([
         "--source", src.path, "--checkpoint", str(tmp_path / "ck_exp"),
         "--mode", "export", "--target", frames,
-        "--export-format", "singer", "--stream", "default",
+        "--export-format", "singer",
         "--timeout-sec", "120",
     ]) == 0
 
@@ -148,7 +151,7 @@ def test_run_cdc_singer_mode_tap_target_loop(spark, tmp_path):
     args = [
         "--events", frames, "--table", dst,
         "--checkpoint", str(tmp_path / "ck_tap"),
-        "--mode", "singer", "--stream", "default",
+        "--mode", "singer",
         "--soft-delete", "--num-buckets", "2",
     ]
     assert run_cdc.main(args) == 0
@@ -171,8 +174,10 @@ def test_run_cdc_singer_mode_tap_target_loop(spark, tmp_path):
     assert run_feed.main([
         "--source", src.path, "--checkpoint", str(tmp_path / "ck_exp"),
         "--mode", "export", "--target", frames,
-        "--export-format", "singer", "--stream", "default",
+        "--export-format", "singer",
         "--timeout-sec", "120",
     ]) == 0
     assert run_cdc.main(args) == 0
     assert live(src) == live(dst_t)
+    # the destination's bookmark landed under the DETECTED stream name
+    assert "src" in dst_t.refresh().bookmarks

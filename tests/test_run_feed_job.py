@@ -265,6 +265,30 @@ def test_run_feed_export_singer_full_circle(spark, tmp_path):
     )
 
 
+def test_run_feed_export_singer_rejects_hard_delete_source(spark, tmp_path):
+    """Singer export is replication: its D records come from
+    _sdc_deleted_at, which a hard-delete CoW rewrite never emits — a
+    keyed hard-delete source must be refused up front (same guard as
+    replica/index), not silently never propagate deletes downstream."""
+    import pytest
+
+    import run_feed
+
+    ev = generate_change_events(spark, n_convs=4, turns_per_conv=2,
+                                n_updates=4)
+    t = LakeTable.create(
+        spark, str(tmp_path / "hard_src"), TRANSCRIPT_SCHEMA,
+        TRANSCRIPT_KEY, num_buckets=2,  # no soft_delete property
+    )
+    merge_into(t, ev, batch_id=0)
+    with pytest.raises(SystemExit):
+        run_feed.main([
+            "--source", t.path, "--checkpoint", str(tmp_path / "ck"),
+            "--mode", "export", "--target", str(tmp_path / "out"),
+            "--export-format", "singer", "--timeout-sec", "60",
+        ])
+
+
 def test_run_feed_export_csv_rejects_array_columns(spark, tmp_path):
     from pyspark.sql.types import (
         ArrayType, DoubleType, StringType, StructField, StructType,

@@ -124,6 +124,10 @@ def test_quarantine_mode_diverts_malformed_records(spark, tmp_path):
     q = {r["reason"]: r["value"] for r in qt.read().collect()}
     assert set(q) == {"malformed_record", "unparseable_line"}
     assert "NOT-A-NUMBER" in q["malformed_record"]
+    # DLQ rows carry a synthetic monotonic lsn (= the numeric batch id):
+    # without one, 1024 quarantining batches evict the replay window and
+    # the ExactlyOnceWindowError guard bricks the pipeline forever
+    assert {r["_lsn"] for r in qt.read().select("_lsn").collect()} == {0}
     # replay same batch: neither side duplicates
     m2 = pipe.ingest_singer_lines(spark.read.text(f), batch_id=0)
     assert m2.get("skipped") or m2.get("inserted", 0) == 0

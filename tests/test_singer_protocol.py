@@ -96,3 +96,24 @@ def test_singer_file_roundtrip_and_ingest(spark, tmp_path, events):
     for k, exp in expected.items():
         assert actual[k]["text"] == exp["text"]
         assert actual[k]["ts"] == exp["ts"].replace(tzinfo=None)
+
+
+def test_write_singer_file_rejects_state_every_zero(spark, tmp_path):
+    """state_every=0 used to ZeroDivisionError on the first record,
+    killing the export stream mid-batch; it now fails at the call."""
+    import pytest
+
+    from pipelinewise_spark.cdc.events import (
+        TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA,
+    )
+    from pipelinewise_spark.cdc.gen import generate_change_events
+    from pipelinewise_spark.singer import protocol, schema as sschema
+
+    ev = generate_change_events(spark, n_convs=2, turns_per_conv=2,
+                                n_updates=0)
+    js = sschema.struct_to_jsonschema(TRANSCRIPT_SCHEMA)
+    with pytest.raises(ValueError, match="state_every"):
+        protocol.write_singer_file(
+            ev, ["conv_id", "turn_idx", "text"], "s", js,
+            TRANSCRIPT_KEY, str(tmp_path / "x.singer"), state_every=0,
+        )
