@@ -34,7 +34,11 @@ The table is created on first run from the transcript schema (or
 With ``--project <tap.yml>``, ``--sync-tables s1,s2 --snapshot <dir>
 --lsn0 N`` re-snapshots ONLY the named streams before streaming — the
 ``pipelinewise sync_tables`` verb (selective full resync while the rest
-of the project keeps its incremental state).
+of the project keeps its incremental state). ``--project --mode singer``
+tails a directory of MIXED-stream singer text files (one tap's whole
+stdout — the reference's tap|target pipe): each stream's pipeline
+decodes its own RECORDs/SCHEMA messages and applies its own YAML
+transforms.
 """
 
 from __future__ import annotations
@@ -175,8 +179,8 @@ def main(argv: list[str] | None = None) -> int:
         # column (<source_schema>-<table_name>). All argument validation
         # happens BEFORE build_project — wiring creates tables on disk,
         # and a usage error must leave no side effects.
-        if args.mode != "stream":
-            p.error("--project supports mode=stream only")
+        if args.mode not in ("stream", "singer"):
+            p.error("--project supports mode=stream or mode=singer only")
         for flag, name in ((args.transform_config, "--transform-config"),
                            (args.append_only, "--append-only"),
                            (args.snapshot and not args.sync_tables,
@@ -365,12 +369,19 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 resynced.append(s)
         try:
+            # mode=singer: --events is ONE tap's whole stdout as text
+            # files (every selected stream mixed in one frame sequence,
+            # the reference's tap|target pipe); each stream's pipeline
+            # decodes its own RECORDs and SCHEMA messages
+            run = (proj["pipeline"].run_singer_stream
+                   if args.mode == "singer"
+                   else proj["pipeline"].run_file_stream)
             if args.continuous:
                 from pipelinewise_spark.streaming.control import (
                     run_until_stopped,
                 )
 
-                q = proj["pipeline"].run_file_stream(
+                q = run(
                     args.events, args.checkpoint,
                     max_files_per_trigger=args.max_files_per_trigger,
                     available_now=False,
@@ -378,7 +389,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 run_until_stopped(q)
             else:
-                proj["pipeline"].run_file_stream(
+                run(
                     args.events, args.checkpoint,
                     max_files_per_trigger=args.max_files_per_trigger,
                 )

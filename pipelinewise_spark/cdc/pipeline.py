@@ -465,56 +465,75 @@ class MultiStreamPipeline:
                 )
         return done
 
+    def _fanout(self, work: Callable[[str], dict]) -> dict[str, dict]:
+        """Run ``work(stream)`` for every stream, overlapped up to
+        ``max_concurrency``: disjoint tables, independent commits, so
+        failures stay stream-scoped. If any stream fails, the others
+        still finish (and commit) — the re-raised error makes the engine
+        retry the batch, where committed streams no-op via their
+        batch-id guard (exactly-once holds)."""
+        streams = list(self.pipelines)
+        if self.max_concurrency == 1 or len(streams) == 1:
+            return {s: work(s) for s in streams}
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: dict[str, dict] = {}
+        errors: dict[str, BaseException] = {}
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_concurrency, len(streams)),
+            thread_name_prefix="pw-stream",
+        ) as pool:
+            futures = {s: pool.submit(work, s) for s in streams}
+            for s, fut in futures.items():
+                try:
+                    results[s] = fut.result()
+                except BaseException as e:  # noqa: BLE001 — re-raised
+                    errors[s] = e
+        if errors:
+            first = next(iter(errors))
+            raise RuntimeError(
+                f"{len(errors)} stream merge(s) failed "
+                f"({sorted(errors)}); committed streams will skip on "
+                f"replay via their batch-id guard"
+            ) from errors[first]
+        return results
+
     def apply_batch(self, df: DataFrame, batch_id: Any = None) -> dict[str, dict]:
         self._route_initial_loads()
         # persist once — each stream's merge triggers multiple jobs and
         # would otherwise re-scan the whole micro-batch per stream
         df = df.persist()
         try:
-            streams = list(self.pipelines)
-            if self.max_concurrency == 1 or len(streams) == 1:
-                return {
-                    s: self.pipelines[s].apply_batch(
-                        df.where(df[self.stream_col] == s), batch_id=batch_id
-                    )
-                    for s in streams
-                }
-            # overlap the per-stream merges: disjoint tables, independent
-            # commits, so failures stay stream-scoped. If any stream
-            # fails, the others still finish (and commit) — the re-raised
-            # error makes the engine retry the batch, where committed
-            # streams no-op via their batch-id guard (exactly-once holds).
-            from concurrent.futures import ThreadPoolExecutor
-
-            results: dict[str, dict] = {}
-            errors: dict[str, BaseException] = {}
-
-            def _one(stream: str):
-                part = df.where(df[self.stream_col] == stream)
-                return self.pipelines[stream].apply_batch(
-                    part, batch_id=batch_id
+            return self._fanout(
+                lambda s: self.pipelines[s].apply_batch(
+                    df.where(df[self.stream_col] == s), batch_id=batch_id
                 )
-
-            with ThreadPoolExecutor(
-                max_workers=min(self.max_concurrency, len(streams)),
-                thread_name_prefix="pw-stream",
-            ) as pool:
-                futures = {s: pool.submit(_one, s) for s in streams}
-                for s, fut in futures.items():
-                    try:
-                        results[s] = fut.result()
-                    except BaseException as e:  # noqa: BLE001 — re-raised
-                        errors[s] = e
-            if errors:
-                first = next(iter(errors))
-                raise RuntimeError(
-                    f"{len(errors)} stream merge(s) failed "
-                    f"({sorted(errors)}); committed streams will skip on "
-                    f"replay via their batch-id guard"
-                ) from errors[first]
-            return results
+            )
         finally:
             df.unpersist()
+
+    def ingest_singer_lines(
+        self, lines: DataFrame, batch_id: Any = None
+    ) -> dict[str, dict]:
+        """Mixed-stream singer frames — a real tap emits EVERY selected
+        stream into ONE stdout (reference: the combined tap|target pipe;
+        ``target_postgres`` groups records by their ``stream`` field) —
+        fanned out to each stream's pipeline: every pipe reacts to its
+        OWN SCHEMA messages (per-stream drift) and decodes its OWN
+        RECORDs (``decode_records`` filters on stream; a foreign
+        stream's malformed payload is not this pipe's error). The lines
+        frame is persisted once; failure semantics match
+        :meth:`apply_batch` (stream-scoped, replay-safe)."""
+        self._route_initial_loads()
+        lines = lines.persist()
+        try:
+            return self._fanout(
+                lambda s: self.pipelines[s].ingest_singer_lines(
+                    lines, batch_id=batch_id
+                )
+            )
+        finally:
+            lines.unpersist()
 
     def run_file_stream(self, events_path: str, checkpoint_dir: str, **kw):
         """Same contract as :meth:`CdcPipeline.run_file_stream`:
@@ -536,6 +555,33 @@ class MultiStreamPipeline:
         source = getattr(reader, fmt)(events_path)
         writer = source.writeStream.foreachBatch(
             lambda df, bid: self.apply_batch(df, batch_id=bid)
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(kw.get("timeout_sec"))
+        return query
+
+    def run_singer_stream(
+        self, frames_path: str, checkpoint_dir: str, **kw
+    ):
+        """Tail a directory of MIXED-stream singer text files (one tap's
+        whole stdout) — :meth:`CdcPipeline.run_singer_stream`, fanned
+        out per stream via :meth:`ingest_singer_lines`."""
+        spark = next(iter(self.pipelines.values())).table.spark
+        available_now = kw.pop("available_now", True)
+        processing_time = kw.pop("processing_time", None)
+        reader = spark.readStream
+        if kw.get("max_files_per_trigger"):
+            reader = reader.option(
+                "maxFilesPerTrigger", kw["max_files_per_trigger"]
+            )
+        source = reader.text(frames_path)
+        writer = source.writeStream.foreachBatch(
+            lambda df, bid: self.ingest_singer_lines(df, batch_id=bid)
         ).option("checkpointLocation", checkpoint_dir)
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -181,3 +181,98 @@ def test_run_cdc_singer_mode_tap_target_loop(spark, tmp_path):
     assert live(src) == live(dst_t)
     # the destination's bookmark landed under the DETECTED stream name
     assert "src" in dst_t.refresh().bookmarks
+
+
+# ---------------------------------------------------------------------------
+# multi-stream singer ingest: a real tap emits EVERY selected stream into
+# one stdout — run_cdc --project --mode singer fans the mixed frames out
+# to each stream's pipeline (per-stream decode, drift, transforms)
+
+
+def test_run_cdc_project_singer_multistream(spark, tmp_path):
+    import sys as _sys
+
+    _sys.path.insert(0, "jobs")
+    import run_cdc
+
+    from pipelinewise_spark.cdc.events import (
+        TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA,
+    )
+    from pipelinewise_spark.cdc.gen import generate_change_events
+    from pipelinewise_spark.singer import protocol, schema as sschema
+    tap_yaml = """
+id: "mysql_sample"
+name: "Sample MySQL Database"
+type: "tap-mysql"
+owner: "somebody@example.com"
+db_conn: {host: "dbhost", port: 3306, user: "u", password: "p", dbname: "appdb"}
+target: "lake"
+schemas:
+  - source_schema: "my_db"
+    target_schema: "repl_my_db"
+    tables:
+      - table_name: "conversations"
+        replication_method: "LOG_BASED"
+        key_properties: ["conv_id", "turn_idx"]
+        transformations:
+          - column: "text"
+            type: "HASH"
+      - table_name: "audit"
+        replication_method: "INCREMENTAL"
+        replication_key: "updated_at"
+        key_properties: ["conv_id", "turn_idx"]
+"""
+    tap = tmp_path / "tap_mysql.yml"
+    tap.write_text(tap_yaml)
+    js = sschema.struct_to_jsonschema(TRANSCRIPT_SCHEMA)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    ev_a = generate_change_events(spark, n_convs=6, turns_per_conv=2,
+                                  n_updates=8, delete_pct=0)
+    ev_b = generate_change_events(spark, n_convs=4, turns_per_conv=2,
+                                  n_updates=4, delete_pct=0, seed=3)
+    # two streams' frames, mixed in one directory (one file each — the
+    # text source reads them as one mixed line set)
+    protocol.write_singer_file(
+        ev_a, cols, "my_db-conversations", js, TRANSCRIPT_KEY,
+        str(frames / "a.singer"))
+    protocol.write_singer_file(
+        ev_b, cols, "my_db-audit", js, TRANSCRIPT_KEY,
+        str(frames / "b.singer"))
+
+    lake = str(tmp_path / "lake")
+    assert run_cdc.main([
+        "--project", str(tap), "--table", lake,
+        "--events", str(frames), "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "singer", "--num-buckets", "2",
+    ]) == 0
+
+    conv = LakeTable(spark, f"{lake}/repl_my_db/conversations").read()
+    audit = LakeTable(spark, f"{lake}/repl_my_db/audit").read()
+    assert conv.count() == ev_a.select("conv_id", "turn_idx").distinct().count()
+    assert audit.count() == ev_b.select("conv_id", "turn_idx").distinct().count()
+    # the YAML's per-stream transforms applied to conversations only
+    assert conv.where(~F.col("text").rlike("^[0-9a-f]{64}$")).count() == 0
+    assert audit.where(F.col("text").rlike("^[0-9a-f]{64}$")).count() == 0
+    # per-stream bookmarks landed under each stream's own name
+    assert "my_db-conversations" in LakeTable(
+        spark, f"{lake}/repl_my_db/conversations").bookmarks
+    assert "my_db-audit" in LakeTable(
+        spark, f"{lake}/repl_my_db/audit").bookmarks
+
+    # resume: a third file lands for ONE stream; rerun the same
+    # checkpoint — only it applies
+    more = generate_change_events(
+        spark, n_convs=6, turns_per_conv=2, n_updates=3, delete_pct=0,
+    ).withColumn("lsn", F.col("lsn") + F.lit(90_000))
+    protocol.write_singer_file(
+        more, cols, "my_db-conversations", js, TRANSCRIPT_KEY,
+        str(frames / "c.singer"))
+    assert run_cdc.main([
+        "--project", str(tap), "--table", lake,
+        "--events", str(frames), "--checkpoint", str(tmp_path / "ck"),
+        "--mode", "singer", "--num-buckets", "2",
+    ]) == 0
+    audit2 = LakeTable(spark, f"{lake}/repl_my_db/audit")
+    assert audit2.read().count() == audit.count()  # untouched
