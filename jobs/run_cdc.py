@@ -502,49 +502,23 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.events:
         p.error("--events required for mode=stream/replay/singer")
-    if args.mode == "singer":
-        # the tap/target loop over files: any singer-framed text lands
-        # in the lake with the same exactly-once and resume contract as
-        # the parquet change log (and our own --export-format singer
-        # output round-trips)
-        if not args.checkpoint:
-            p.error("--checkpoint required for mode=singer")
-        if args.continuous:
-            from pipelinewise_spark.streaming.control import (
-                run_until_stopped,
-            )
-
-            q = pipe.run_singer_stream(
-                args.events, args.checkpoint,
-                max_files_per_trigger=args.max_files_per_trigger,
-                available_now=False,
-                processing_time=f"{args.trigger_sec} seconds",
-            )
-            run_until_stopped(q)
-        else:
-            pipe.run_singer_stream(
-                args.events, args.checkpoint,
-                max_files_per_trigger=args.max_files_per_trigger,
-            )
-        print(json.dumps({
-            "mode": "singer",
-            "batches": len(pipe.history),
-            "bookmarks": table.bookmarks,
-            "version": table.refresh().version,
-            "metrics": pipe.history,
-        }, default=str))
-        return 0
     if args.mode == "replay":
         metrics = pipe.replay(spark.read.parquet(args.events), n_batches=args.batches)
     else:
         if not args.checkpoint:
-            p.error("--checkpoint required for mode=stream")
+            p.error("--checkpoint required for mode=stream/singer")
+        # mode=singer: the tap/target loop over files — singer-framed
+        # text lands in the lake with the same exactly-once and resume
+        # contract as the parquet change log (and our own
+        # --export-format singer output round-trips)
+        run = (pipe.run_singer_stream if args.mode == "singer"
+               else pipe.run_file_stream)
         if args.continuous:
             from pipelinewise_spark.streaming.control import (
                 run_until_stopped,
             )
 
-            q = pipe.run_file_stream(
+            q = run(
                 args.events, args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger,
                 available_now=False,
@@ -552,7 +526,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             run_until_stopped(q)
         else:
-            pipe.run_file_stream(
+            run(
                 args.events, args.checkpoint,
                 max_files_per_trigger=args.max_files_per_trigger,
             )

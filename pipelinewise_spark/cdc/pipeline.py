@@ -31,6 +31,32 @@ from pipelinewise_spark.cdc.merge import merge_into
 from pipelinewise_spark.lake.table import LakeTable
 
 
+def _start_stream(
+    source: DataFrame,
+    handle,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    timeout_sec: float | None = None,
+):
+    """Shared stream-runner tail: foreachBatch + checkpoint + trigger
+    selection + (for bounded runs) the await. ``availableNow`` = the
+    reference's bounded run; kill + rerun with the same checkpoint
+    resumes exactly. One definition for all four run_*_stream methods."""
+    writer = source.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination(timeout_sec)
+    return query
+
+
 class CdcPipeline:
     def __init__(
         self,
@@ -342,18 +368,11 @@ class CdcPipeline:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         source = getattr(reader, fmt)(events_path)
-
-        writer = source.writeStream.foreachBatch(
-            lambda df, bid: self.apply_batch(df, batch_id=bid)
-        ).option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(timeout_sec)
-        return query
+        return _start_stream(
+            source, lambda df, bid: self.apply_batch(df, batch_id=bid),
+            checkpoint_dir, available_now=available_now,
+            processing_time=processing_time, timeout_sec=timeout_sec,
+        )
 
     def run_singer_stream(
         self,
@@ -384,17 +403,12 @@ class CdcPipeline:
                 "maxFilesPerTrigger", max_files_per_trigger
             )
         source = reader.text(frames_path)
-        writer = source.writeStream.foreachBatch(
-            lambda df, bid: self.ingest_singer_lines(df, batch_id=bid)
-        ).option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(timeout_sec)
-        return query
+        return _start_stream(
+            source,
+            lambda df, bid: self.ingest_singer_lines(df, batch_id=bid),
+            checkpoint_dir, available_now=available_now,
+            processing_time=processing_time, timeout_sec=timeout_sec,
+        )
 
 
 class MultiStreamPipeline:
@@ -553,17 +567,12 @@ class MultiStreamPipeline:
                 "maxFilesPerTrigger", kw["max_files_per_trigger"]
             )
         source = getattr(reader, fmt)(events_path)
-        writer = source.writeStream.foreachBatch(
-            lambda df, bid: self.apply_batch(df, batch_id=bid)
-        ).option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(kw.get("timeout_sec"))
-        return query
+        return _start_stream(
+            source, lambda df, bid: self.apply_batch(df, batch_id=bid),
+            checkpoint_dir, available_now=available_now,
+            processing_time=processing_time,
+            timeout_sec=kw.get("timeout_sec"),
+        )
 
     def run_singer_stream(
         self, frames_path: str, checkpoint_dir: str, **kw
@@ -580,14 +589,10 @@ class MultiStreamPipeline:
                 "maxFilesPerTrigger", kw["max_files_per_trigger"]
             )
         source = reader.text(frames_path)
-        writer = source.writeStream.foreachBatch(
-            lambda df, bid: self.ingest_singer_lines(df, batch_id=bid)
-        ).option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
-            writer = writer.trigger(processingTime=processing_time)
-        query = writer.start()
-        if available_now:
-            query.awaitTermination(kw.get("timeout_sec"))
-        return query
+        return _start_stream(
+            source,
+            lambda df, bid: self.ingest_singer_lines(df, batch_id=bid),
+            checkpoint_dir, available_now=available_now,
+            processing_time=processing_time,
+            timeout_sec=kw.get("timeout_sec"),
+        )
