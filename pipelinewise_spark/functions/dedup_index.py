@@ -314,6 +314,38 @@ def dedup_gate(
     )
 
 
+def gate_transform(
+    path: str,
+    *,
+    min_est: float = 0.8,
+    id_col: str | None = None,
+    text_col: str | None = None,
+    op_col: str = "op",
+    in_batch: bool = True,
+):
+    """:func:`dedup_gate` as a ``CdcPipeline(transform=...)`` stage —
+    the production wiring that admission-gates documents INSIDE the
+    CDC apply loop (gate → merge survivors; pair with ``jobs/run_feed
+    --index-kind minhash`` maintaining the index from the change feed).
+    DELETE events pass through ungated: a D for an already-indexed
+    document must reach the merge (and, via the feed, the index) even
+    though its text near-dups the index by definition. Returns a
+    function ``DataFrame -> DataFrame`` closing over the index path;
+    the index doc is (re)read once per batch — each micro-batch gates
+    against one consistent snapshot."""
+    def _gate(df: DataFrame) -> DataFrame:
+        deletes = df.where(F.col(op_col) == "D")
+        ups = df.where(F.col(op_col) != "D")
+        kept = dedup_gate(
+            df.sparkSession, path, ups,
+            min_est=min_est, id_col=id_col, text_col=text_col,
+            in_batch=in_batch,
+        )
+        return kept.unionByName(deletes)
+
+    return _gate
+
+
 def minhash_lookup(
     spark: SparkSession,
     path: str,

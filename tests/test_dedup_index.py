@@ -400,3 +400,53 @@ def test_random_increments_converge_to_resave(spark, tmp_path_factory,
         num_hashes=8, bands=4, num_buckets=2,
     )
     assert _codes_rows(spark, path) == _codes_rows(spark, full)
+
+
+def test_gate_transform_in_cdc_pipeline(spark, tmp_path, corpus):
+    """The admission gate as a CdcPipeline transform stage: near-dup
+    INSERTs are dropped before the merge, novel ones land, DELETEs pass
+    through ungated (a D for an indexed doc must reach the merge)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from pipelinewise_spark.cdc.pipeline import CdcPipeline
+    from pipelinewise_spark.lake.table import LakeTable
+
+    path = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        path, corpus, id_col="doc_id", text_col="text",
+        num_hashes=16, bands=8, num_buckets=4)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "docs"), schema, ["doc_id"], num_buckets=2,
+        properties={"soft_delete": True},
+    )
+    pipe = CdcPipeline(
+        t, stream="docs",
+        transform=dedup_index.gate_transform(path, min_est=0.5),
+    )
+    novel = "volcanic rock gardens bloom under the midnight aurora sky"
+    batch = spark.createDataFrame(
+        [(300, BASE + " once more", "I", 1),   # near-dup of indexed 1
+         (301, novel, "I", 2),                 # novel -> admitted
+         (302, None, "I", 3)],                 # unsignable -> admitted
+        "doc_id long, text string, op string, lsn long",
+    )
+    m = pipe.apply_batch(batch, batch_id=0)
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {301, 302}, got
+    assert m["inserted"] == 2
+    # a DELETE for an admitted doc passes the gate untouched
+    d = spark.createDataFrame(
+        [(301, novel, "D", 10)],
+        "doc_id long, text string, op string, lsn long",
+    )
+    pipe.apply_batch(d, batch_id=1)
+    live = {r["doc_id"] for r in t.refresh().read().where(
+        "_sdc_deleted_at IS NULL").collect()}
+    assert live == {302}
