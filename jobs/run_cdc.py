@@ -183,12 +183,15 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--project supports mode=stream or mode=singer only")
         for flag, name in ((args.transform_config, "--transform-config"),
                            (args.append_only, "--append-only"),
+                           (args.validate != "permissive", "--validate"),
+                           (args.quarantine_path, "--quarantine-path"),
                            (args.snapshot and not args.sync_tables,
                             "--snapshot")):
             if flag:
                 p.error(f"{name} is incompatible with --project (the tap "
-                        "YAML declares transformations/keys per table; "
-                        "--snapshot is only meaningful with --sync-tables)")
+                        "YAML declares transformations/keys/"
+                        "validate_records per table; --snapshot is only "
+                        "meaningful with --sync-tables)")
         from pipelinewise_spark.config import (
             build_project, load_tap_yaml, stream_ids,
         )
@@ -416,6 +419,42 @@ def main(argv: list[str] | None = None) -> int:
     if args.sync_tables:
         p.error("--sync-tables requires --project (single-table resync "
                 "is mode=snapshot)")
+    if args.mode == "singer" and args.stream is None:
+        # decode_records drops every RECORD of a non-matching stream,
+        # so a default-vs-exported name mismatch would "succeed" with
+        # an empty table — detect from the frames instead of guessing.
+        # Resolved BEFORE the table is created and the pipe/transform
+        # constructed: a usage error here must leave no side effects
+        # (same contract as the --project branch).
+        if not args.events:
+            p.error("--events required for mode=singer")
+        from pyspark.sql import functions as F
+
+        def _streams_of(types):
+            return [
+                r["s"] for r in spark.read.text(args.events)
+                .where(F.get_json_object("value", "$.type").isin(*types))
+                .select(F.get_json_object("value", "$.stream").alias("s"))
+                .where(F.col("s").isNotNull()).distinct().collect()
+            ]
+
+        # control-plane first: SCHEMA lines are few and every exporter
+        # (ours and the reference taps) emits them before RECORDs — a
+        # multi-GB capture shouldn't pay a full-corpus JSON extraction
+        # just to learn its own stream name. RECORD fallback only for
+        # schema-less captures.
+        found = _streams_of(["SCHEMA"]) or _streams_of(["RECORD"])
+        if len(found) == 1:
+            args.stream = found[0]
+            print(f"auto-detected stream {found[0]!r} from frames",
+                  file=sys.stderr)
+        elif not found:
+            p.error(f"{args.events}: no singer frames with a stream "
+                    f"field found; pass --stream explicitly")
+        else:
+            p.error(f"{args.events} carries {len(found)} streams "
+                    f"({sorted(found)}); pass --stream explicitly")
+
     if LakeTable.exists(args.table):
         table = LakeTable(spark, args.table)
     else:
@@ -429,34 +468,6 @@ def main(argv: list[str] | None = None) -> int:
             # truth for merge AND read tombstone visibility)
             properties={"soft_delete": bool(args.soft_delete)},
         )
-
-    if args.mode == "singer" and args.stream is None:
-        # decode_records drops every RECORD of a non-matching stream,
-        # so a default-vs-exported name mismatch would "succeed" with
-        # an empty table — detect from the frames instead of guessing.
-        # Resolved BEFORE the transform compile and pipe construction
-        # so both see the real stream name.
-        if not args.events:
-            p.error("--events required for mode=singer")
-        from pyspark.sql import functions as F
-
-        found = [
-            r["s"] for r in spark.read.text(args.events)
-            .where(F.get_json_object("value", "$.type").isin(
-                "SCHEMA", "RECORD"))
-            .select(F.get_json_object("value", "$.stream").alias("s"))
-            .where(F.col("s").isNotNull()).distinct().collect()
-        ]
-        if len(found) == 1:
-            args.stream = found[0]
-            print(f"auto-detected stream {found[0]!r} from frames",
-                  file=sys.stderr)
-        elif not found:
-            p.error(f"{args.events}: no singer frames with a stream "
-                    f"field found; pass --stream explicitly")
-        else:
-            p.error(f"{args.events} carries {len(found)} streams "
-                    f"({sorted(found)}); pass --stream explicitly")
 
     transform = None
     if args.transform_config:

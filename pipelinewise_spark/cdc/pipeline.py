@@ -31,6 +31,26 @@ from pipelinewise_spark.cdc.merge import merge_into
 from pipelinewise_spark.lake.table import LakeTable
 
 
+def _stream_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Shared reader head for the run_*_stream methods: one place to
+    grow reader options (latestFirst, pathGlobFilter, ...) instead of
+    four. ``fmt="text"`` needs no schema (singer frames); everything
+    else defaults to the change-event envelope."""
+    reader = spark.readStream
+    if fmt != "text":
+        reader = reader.schema(schema or CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return getattr(reader, fmt)(path)
+
+
 def _start_stream(
     source: DataFrame,
     handle,
@@ -209,19 +229,31 @@ class CdcPipeline:
 
     # ----------------------------------------------------- singer ingestion
 
-    def ingest_singer_lines(self, lines: DataFrame, batch_id: Any = None) -> dict:
+    def ingest_singer_lines(
+        self,
+        lines: DataFrame,
+        batch_id: Any = None,
+        *,
+        _ctrl: dict | None = None,
+        _claim_unparseable: bool = True,
+    ) -> dict:
         """Bounded singer-framed ingest: control messages steer the engine
         (SCHEMA → schema-drift reconcile, ACTIVATE_VERSION → recorded —
         targets treat it as a no-op/log, ``target_postgres/__init__.py:
         223-228``; STATE lines are informational, the committed bookmark
-        is authoritative), RECORDs decode and merge."""
+        is authoritative), RECORDs decode and merge. ``_ctrl`` /
+        ``_claim_unparseable`` are MultiStreamPipeline plumbing: the
+        fanout collects the shared control lines ONCE and nominates one
+        pipe to quarantine stream-unattributable garbage lines."""
         from pyspark.sql.types import StructType
 
         from pipelinewise_spark.evolution.drift import reconcile
         from pipelinewise_spark.singer import protocol
         from pipelinewise_spark.singer.schema import jsonschema_to_struct
 
-        ctrl = protocol.collect_control_messages(lines)
+        ctrl = _ctrl if _ctrl is not None else (
+            protocol.collect_control_messages(lines)
+        )
         payload = None
         # strict stream match: a batch carrying only ANOTHER stream's
         # SCHEMA must not evolve this table with foreign columns — fall
@@ -238,13 +270,19 @@ class CdcPipeline:
                     if f.name in self.table.data_cols
                 ]
             )
-        if ctrl["ACTIVATE_VERSION"]:
-            versions = [m.get("version") for m in ctrl["ACTIVATE_VERSION"]]
+        # same strict stream match as SCHEMA: another stream's version
+        # activation is not this pipeline's history
+        versions = [
+            m.get("version") for m in ctrl["ACTIVATE_VERSION"]
+            if m.get("stream") == self.stream
+        ]
+        if versions:
             self.history.append(
                 {"control": "activate_version", "versions": versions}
             )
         decoded = protocol.decode_records(
-            lines, payload, stream=self.stream, validate=self.validate
+            lines, payload, stream=self.stream, validate=self.validate,
+            claim_unparseable=_claim_unparseable,
         )
         if self.validate != "quarantine":
             return self.apply_batch(decoded, batch_id=batch_id)
@@ -363,11 +401,10 @@ class CdcPipeline:
         nothing downstream). ``availableNow`` = the reference's bounded run;
         kill + rerun with the same checkpoint resumes exactly where it
         stopped (tested in tests/test_streaming_resume.py)."""
-        spark = self.table.spark
-        reader = spark.readStream.schema(schema or CHANGE_EVENT_SCHEMA)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        source = getattr(reader, fmt)(events_path)
+        source = _stream_source(
+            self.table.spark, events_path, fmt=fmt, schema=schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         return _start_stream(
             source, lambda df, bid: self.apply_batch(df, batch_id=bid),
             checkpoint_dir, available_now=available_now,
@@ -396,13 +433,10 @@ class CdcPipeline:
         guarantee. Exactly-once is the same two-layer guard as every
         other source: Spark's checkpoint + the manifest batch-id
         guard."""
-        spark = self.table.spark
-        reader = spark.readStream
-        if max_files_per_trigger:
-            reader = reader.option(
-                "maxFilesPerTrigger", max_files_per_trigger
-            )
-        source = reader.text(frames_path)
+        source = _stream_source(
+            self.table.spark, frames_path, fmt="text",
+            max_files_per_trigger=max_files_per_trigger,
+        )
         return _start_stream(
             source,
             lambda df, bid: self.ingest_singer_lines(df, batch_id=bid),
@@ -536,14 +570,24 @@ class MultiStreamPipeline:
         OWN SCHEMA messages (per-stream drift) and decodes its OWN
         RECORDs (``decode_records`` filters on stream; a foreign
         stream's malformed payload is not this pipe's error). The lines
-        frame is persisted once; failure semantics match
-        :meth:`apply_batch` (stream-scoped, replay-safe)."""
+        frame is persisted once, the control messages are collected ONCE
+        (not once per stream — a driver round-trip per pipe per batch),
+        and exactly one pipe (deterministically the lexicographically
+        first) quarantines stream-unattributable garbage lines so they
+        don't land in every stream's dead-letter table. Failure
+        semantics match :meth:`apply_batch` (stream-scoped,
+        replay-safe)."""
+        from pipelinewise_spark.singer import protocol
+
         self._route_initial_loads()
         lines = lines.persist()
         try:
+            ctrl = protocol.collect_control_messages(lines)
+            claimer = min(self.pipelines)
             return self._fanout(
                 lambda s: self.pipelines[s].ingest_singer_lines(
-                    lines, batch_id=batch_id
+                    lines, batch_id=batch_id, _ctrl=ctrl,
+                    _claim_unparseable=(s == claimer),
                 )
             )
         finally:
@@ -557,16 +601,13 @@ class MultiStreamPipeline:
         spark = next(iter(self.pipelines.values())).table.spark
         from pyspark.sql import SparkSession  # noqa: F401
 
-        schema = kw.pop("schema", None) or CHANGE_EVENT_SCHEMA
-        fmt = kw.pop("fmt", "parquet")
         available_now = kw.pop("available_now", True)
         processing_time = kw.pop("processing_time", None)
-        reader = spark.readStream.schema(schema)
-        if kw.get("max_files_per_trigger"):
-            reader = reader.option(
-                "maxFilesPerTrigger", kw["max_files_per_trigger"]
-            )
-        source = getattr(reader, fmt)(events_path)
+        source = _stream_source(
+            spark, events_path,
+            fmt=kw.pop("fmt", "parquet"), schema=kw.pop("schema", None),
+            max_files_per_trigger=kw.get("max_files_per_trigger"),
+        )
         return _start_stream(
             source, lambda df, bid: self.apply_batch(df, batch_id=bid),
             checkpoint_dir, available_now=available_now,
@@ -583,12 +624,10 @@ class MultiStreamPipeline:
         spark = next(iter(self.pipelines.values())).table.spark
         available_now = kw.pop("available_now", True)
         processing_time = kw.pop("processing_time", None)
-        reader = spark.readStream
-        if kw.get("max_files_per_trigger"):
-            reader = reader.option(
-                "maxFilesPerTrigger", kw["max_files_per_trigger"]
-            )
-        source = reader.text(frames_path)
+        source = _stream_source(
+            spark, frames_path, fmt="text",
+            max_files_per_trigger=kw.get("max_files_per_trigger"),
+        )
         return _start_stream(
             source,
             lambda df, bid: self.ingest_singer_lines(df, batch_id=bid),

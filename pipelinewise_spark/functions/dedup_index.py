@@ -329,13 +329,29 @@ def gate_transform(
     --index-kind minhash`` maintaining the index from the change feed).
     DELETE events pass through ungated: a D for an already-indexed
     document must reach the merge (and, via the feed, the index) even
-    though its text near-dups the index by definition. Returns a
-    function ``DataFrame -> DataFrame`` closing over the index path;
-    the index doc is (re)read once per batch — each micro-batch gates
-    against one consistent snapshot."""
+    though its text near-dups the index by definition. Everything else
+    — including NULL-op rows, which the merge treats as upserts — is
+    gated (null-safe split: a NULL op must not vanish into neither
+    branch). Returns a function ``DataFrame -> DataFrame`` closing over
+    the index path; the index doc is (re)read once per batch — each
+    micro-batch gates against one consistent snapshot.
+
+    Bootstrap: the index must exist before the first batch —
+    ``save_minhash_index`` over an EMPTY (or seed) corpus works and
+    admits everything; pair with ``run_feed --index-kind minhash`` so
+    the feed keeps it current from then on."""
     def _gate(df: DataFrame) -> DataFrame:
-        deletes = df.where(F.col(op_col) == "D")
-        ups = df.where(F.col(op_col) != "D")
+        try:
+            _load_doc(path, "minhash")
+        except FileNotFoundError:
+            raise ValueError(
+                f"gate_transform: no minhash index at {path!r} — "
+                f"bootstrap one first (save_minhash_index over an empty "
+                f"or seed corpus admits everything)"
+            ) from None
+        is_d = F.col(op_col).eqNullSafe(F.lit("D"))
+        deletes = df.where(is_d)
+        ups = df.where(~is_d)
         kept = dedup_gate(
             df.sparkSession, path, ups,
             min_est=min_est, id_col=id_col, text_col=text_col,

@@ -87,6 +87,7 @@ def decode_records(
     *,
     stream: str | None = None,
     validate: str = "permissive",
+    claim_unparseable: bool = True,
 ) -> DataFrame:
     """RECORD lines → change-event DataFrame (lsn, op, stream, payload...,
     time_extracted). Deletes are RECORDs whose ``_sdc_deleted_at`` is set
@@ -161,9 +162,13 @@ def decode_records(
         cond = F.col("m.type") == "RECORD"
         if stream is not None:
             cond = cond & (F.col("m.stream") == stream)
-        if quarantine:
+        if quarantine and claim_unparseable:
             # framing so broken the type can't even be read belongs in
-            # the dead-letter output, not on the floor
+            # the dead-letter output, not on the floor. A line like that
+            # is stream-UNATTRIBUTABLE, so when several pipelines decode
+            # the same mixed frames (MultiStreamPipeline), exactly ONE of
+            # them claims it (claim_unparseable) — otherwise every
+            # stream's quarantine records the same garbage line.
             cond = cond | (
                 F.col("m.type").isNull() & F.col("m._corrupt").isNotNull()
             )

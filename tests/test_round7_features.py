@@ -276,3 +276,125 @@ schemas:
     ]) == 0
     audit2 = LakeTable(spark, f"{lake}/repl_my_db/audit")
     assert audit2.read().count() == audit.count()  # untouched
+
+
+def test_gate_transform_null_op_rows_are_gated_not_dropped(spark, tmp_path):
+    """NULL-op rows are upserts to the merge; a non-null-safe op split
+    would land them in NEITHER branch and silently lose them exactly
+    when the gate is enabled."""
+    from pipelinewise_spark.functions import dedup_index
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "mh")
+    dedup_index.save_minhash_index(
+        idx, corpus, id_col="doc_id", text_col="text",
+        num_hashes=16, bands=8, num_buckets=2)
+    gate = dedup_index.gate_transform(idx, min_est=0.5)
+    batch = spark.createDataFrame(
+        [(10, "a genuinely novel essay on volcanic gardens", None, 1)],
+        "doc_id long, text string, op string, lsn long",
+    )
+    assert {r["doc_id"] for r in gate(batch).collect()} == {10}
+    # and a missing index fails with the bootstrap hint, not a raw
+    # FileNotFoundError per micro-batch
+    import pytest
+
+    lost = dedup_index.gate_transform(str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="bootstrap"):
+        lost(batch).collect()
+
+
+def test_multistream_quarantine_claims_garbage_once(spark, tmp_path):
+    """A wholly-unparseable line is stream-UNATTRIBUTABLE: in a
+    multi-stream singer ingest exactly ONE pipeline quarantines it —
+    not every stream's dead-letter table."""
+    import json as _json
+
+    from pipelinewise_spark.cdc.events import (
+        TRANSCRIPT_KEY, TRANSCRIPT_SCHEMA,
+    )
+    from pipelinewise_spark.cdc.pipeline import (
+        CdcPipeline, MultiStreamPipeline,
+    )
+    from pipelinewise_spark.singer import schema as sschema
+
+    js = sschema.struct_to_jsonschema(TRANSCRIPT_SCHEMA)
+    f = tmp_path / "mixed.singer"
+    lines = []
+    for stream in ("s-a", "s-b"):
+        lines.append(_json.dumps({
+            "type": "SCHEMA", "stream": stream, "schema": js,
+            "key_properties": list(TRANSCRIPT_KEY)}))
+        lines.append(_json.dumps({
+            "type": "RECORD", "stream": stream,
+            "record": {"conv_id": stream, "turn_idx": 0, "text": "ok",
+                       "_sdc_lsn": 1}}))
+    lines.append('{"type":"RECORD" garbage beyond parsing')
+    # per-stream malformed record: only its OWN stream quarantines it
+    lines.append(_json.dumps({
+        "type": "RECORD", "stream": "s-b",
+        "record": {"conv_id": "x", "turn_idx": "NOT-A-NUMBER",
+                   "_sdc_lsn": 2}}))
+    f.write_text("\n".join(lines) + "\n")
+
+    pipes = {}
+    for stream in ("s-a", "s-b"):
+        t = LakeTable.create(
+            spark, str(tmp_path / stream), TRANSCRIPT_SCHEMA,
+            TRANSCRIPT_KEY, num_buckets=2)
+        pipes[stream] = CdcPipeline(t, stream=stream,
+                                    validate="quarantine")
+    ms = MultiStreamPipeline(pipes, max_concurrency=1)
+    res = ms.ingest_singer_lines(spark.read.text(str(f)), batch_id=0)
+    # garbage line claimed by exactly one stream (the lexicographic
+    # first); s-b's own malformed record stays s-b's
+    assert res["s-a"]["quarantined"] == 1
+    assert res["s-b"]["quarantined"] == 1
+    qa = LakeTable(spark, pipes["s-a"].quarantine_path).read().collect()
+    qb = LakeTable(spark, pipes["s-b"].quarantine_path).read().collect()
+    assert [r["reason"] for r in qa] == ["unparseable_line"]
+    assert [r["reason"] for r in qb] == ["malformed_record"]
+    assert res["s-a"]["inserted"] == 1 and res["s-b"]["inserted"] == 1
+
+
+def test_run_cdc_singer_usage_errors_leave_no_table(spark, tmp_path):
+    """Stream auto-detection failures (multi-stream frames, no
+    --stream) are usage errors and must not leave a freshly created
+    empty table on disk — a later retry would hit property checks
+    against the accidental table."""
+    import json as _json
+    import os
+    import sys as _sys
+
+    import pytest
+
+    _sys.path.insert(0, "jobs")
+    import run_cdc
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    (frames / "x.singer").write_text(
+        _json.dumps({"type": "SCHEMA", "stream": "a", "schema": {}}) + "\n"
+        + _json.dumps({"type": "SCHEMA", "stream": "b", "schema": {}}) + "\n"
+    )
+    dst = str(tmp_path / "never_created")
+    with pytest.raises(SystemExit):
+        run_cdc.main([
+            "--events", str(frames), "--table", dst,
+            "--checkpoint", str(tmp_path / "ck"), "--mode", "singer",
+        ])
+    assert not os.path.exists(dst)
+    # --validate / --quarantine-path are YAML-governed under --project
+    tap = tmp_path / "tap.yml"
+    tap.write_text(
+        'id: "t"\nname: "t"\ntype: "tap-mysql"\nowner: "o"\n'
+        'db_conn: {host: "h", port: 1, user: "u", password: "p", '
+        'dbname: "d"}\ntarget: "lake"\nschemas: []\n')
+    with pytest.raises(SystemExit):
+        run_cdc.main([
+            "--project", str(tap), "--table", str(tmp_path / "lake"),
+            "--events", str(frames), "--checkpoint", str(tmp_path / "ck2"),
+            "--mode", "singer", "--validate", "quarantine",
+        ])
