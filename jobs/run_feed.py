@@ -318,6 +318,10 @@ def main(argv: list[str] | None = None) -> int:
         # memory); batch size is bounded by maxBytesPerPartition
         # packing. CoW re-emits appear as repeat U records with their
         # original lsn — idempotent upserts for any keyed singer target.
+        # The SCHEMA line is pinned at stream start (Spark streaming
+        # schemas are static for the query's lifetime): after a table
+        # evolution, restart the export — the next run emits the new
+        # SCHEMA and the new columns.
         import os as _os
 
         from pipelinewise_spark.singer.catalog import discover_lake_table
