@@ -19,7 +19,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a, b):
+def dot(a, b, dim: int | None = None):
+    """Dot product of two array columns. With ``dim`` the sum is UNROLLED
+    into a flat codegen-friendly expression (``a[0]*b[0] + a[1]*b[1] +
+    ...``) instead of the interpreted ``aggregate``/``zip_with``
+    higher-order functions — measured 3-4x faster per pair on the LSH
+    verify joins (OPTIMIZATION_r08.md) and bit-identical: the unrolled
+    chain adds left-associated from ``0.0`` in index order, exactly the
+    fold order of ``F.aggregate``, and each element goes through the
+    same ``cast("double")`` pair."""
+    if dim is not None:
+        s = F.lit(0.0)
+        for i in range(dim):
+            s = s + a[i].cast("double") * b[i].cast("double")
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -27,7 +40,14 @@ def dot(a, b):
     )
 
 
-def norm(a):
+def norm(a, dim: int | None = None):
+    """L2 norm; ``dim`` unrolls like :func:`dot` (same fold order →
+    bit-identical doubles)."""
+    if dim is not None:
+        s = F.lit(0.0)
+        for i in range(dim):
+            s = s + a[i].cast("double") * a[i].cast("double")
+        return F.sqrt(s)
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
@@ -35,8 +55,11 @@ def norm(a):
     )
 
 
-def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b, dim: int | None = None):
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+from pipelinewise_spark.functions.util import spread_to_cores as _spread  # noqa: E402
 
 
 def cosine_topk(
@@ -46,23 +69,40 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector. The query side is
     broadcast (small by construction); the corpus streams through one
-    projection + per-query window. Columns: query_id, neighbor_id, sim,
-    rank."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    projection + per-query window. ``dim`` unrolls the arithmetic and
+    precomputes each side's norm ONCE per row instead of once per
+    (query, row) pair — identical doubles, see :func:`dot`. Columns:
+    query_id, neighbor_id, sim, rank."""
+    if dim is not None:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col), dim).alias("__qn"),
+        )
+        c = _spread(corpus, id_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col), dim).alias("__cn"),
+        )
+        sim = dot(F.col("qv"), F.col("cv"), dim) / (
+            F.col("__qn") * F.col("__cn")
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        sim = cosine(F.col("qv"), F.col("cv"))
     scored = F.broadcast(q).crossJoin(c).where(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        F.round(sim, 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -117,7 +157,12 @@ def plane_signs(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[floa
 
 def hyperplane_bucket(vec, dim: int, num_planes: int = 8, seed: int = 42):
     """LSH bucket id: sign pattern of the vector against ``num_planes``
-    deterministic ±1 hyperplanes (see :func:`plane_signs`)."""
+    deterministic ±1 hyperplanes (see :func:`plane_signs`). Kept in the
+    compact ``aggregate``/``zip_with`` form deliberately: this is a
+    PER-ROW expression (never per candidate pair), and the unrolled
+    variant's ~10x bigger expression tree costs more in driver-side
+    Catalyst planning per query than its execution saves
+    (OPTIMIZATION_r08.md — plan-size vs per-pair trade)."""
     bucket = F.lit(0).cast("long")
     for p, signs in enumerate(plane_signs(dim, num_planes, seed)):
         comps = F.array(*[F.lit(s) for s in signs])
@@ -140,15 +185,17 @@ def lsh_topk(
     (equi-join on bucket), then exact cosine rank within candidates. At
     scale, corpus bucketing is a one-off precompute; the join shuffles by
     bucket instead of broadcasting the corpus."""
-    cb = corpus.select(
+    cb = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bkt"),
+        norm(F.col(vec_col), dim).alias("__cn"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bkt"),
+        norm(F.col(vec_col), dim).alias("__qn"),
     )
     scored = (
         F.broadcast(qb)
@@ -157,7 +204,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"), dim)
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -179,11 +230,18 @@ def lsh_similar_pairs(
     candidates only. The LSH analog of the quadratic
     :func:`similar_pairs` baseline; recall is bounded by the bucket
     collision probability of the ``num_planes`` sign pattern.
+
+    Physical shape (r8): each row's norm is computed ONCE in the
+    pre-join projection (the old per-pair ``cosine`` recomputed both
+    norms for every candidate pair — 2/3 of the pair arithmetic), the
+    dot product is unrolled for codegen, and the narrow single-file
+    scan is spread across cores. Same doubles, same rows.
     Columns: id_a, id_b, sim."""
-    b = df.select(
+    b = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bkt"),
+        norm(F.col(vec_col), dim).alias("nrm"),
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -191,7 +249,11 @@ def lsh_similar_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"), dim)
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -232,7 +294,8 @@ def lsh_banded_candidates(
         for b in range(bands)
     ]
     exploded = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .select("id", F.explode(F.array(*buckets)).alias("bb"))
         .select("id", "bb.band", "bb.bkt")
     )
@@ -261,25 +324,65 @@ def lsh_banded_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded (OR-amplified) LSH:
-    candidates from :func:`lsh_banded_candidates`, exact cosine verified
-    ONLY on candidates (vectors join back by id — two broadcast-or-hash
-    equi-joins). Supersedes :func:`lsh_similar_pairs` (kept as the
+    candidates that collide in any band, exact cosine verified ONLY on
+    candidates. Supersedes :func:`lsh_similar_pairs` (kept as the
     single-table baseline) for large corpora.
+
+    Physical shape (r8): the signed frame — (id, v, per-band bucket,
+    norm), the ``bands``·``band_planes``·``dim``-term projection that
+    dominated this operator — is computed ONCE and localCheckpointed;
+    the band-row explode (both self-join sides) and the verify join all
+    read the materialized columns instead of re-deriving the projection
+    per consumer (the old plan evaluated it 4x: two candidate sides +
+    va + vb). The checkpoint is one skinny O(corpus) materialization —
+    the standard sign-once LSH trade (cf. the persisted minhash index)
+    — and gives the verify joins accurate size stats, so the corpus
+    side broadcasts when it fits instead of sort-merge-shuffling the
+    candidate pairs. Same doubles, same rows.
     Columns: id_a, id_b, sim."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cands = lsh_banded_candidates(
-        df, id_col=id_col, vec_col=vec_col, dim=dim, bands=bands,
-        band_planes=band_planes, seed=seed,
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), dim, band_planes, seed=seed + b
+            ).alias(f"__bkt{b}")
+            for b in range(bands)
+        ],
+        norm(F.col(vec_col), dim).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    exploded = base.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"__bkt{b}").alias("bkt"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bkt")
+    a, c = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -328,7 +431,7 @@ def _kmeans_fit(
     centroids)`` where assigned has columns (id, v, cell) and centroids
     is the [(cell_id, vector), ...] list the FINAL assignment used —
     needed by the PQ encoder's asymmetric-distance scoring."""
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -405,6 +508,7 @@ def ivf_topk(
     k: int = 5,
     n_probe: int = 1,
     centroids: list[tuple] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are partitioned into
     cells (label_col); each query probes its ``n_probe`` nearest cell
@@ -453,12 +557,12 @@ def ivf_topk(
         # rounded before ranking so the probe order is reproducible across
         # engines/summation orders (oracle parity)
         .select("query_id", "qv", "label",
-                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim"))
+                F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("csim"))
         .withColumn("prank", F.row_number().over(probe_w))
         .where(F.col("prank") <= n_probe)
         .select("query_id", "qv", "label")
     )
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col(label_col).alias("label"),
     )
@@ -468,7 +572,7 @@ def ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -531,7 +635,7 @@ def pq_encode(
     rows with the saved codebooks and append to the codes table —
     retraining (and re-encoding 10⁹ vectors) only happens when drift
     warrants it. Columns: (id_col, code0..code{m-1})."""
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     exprs = []

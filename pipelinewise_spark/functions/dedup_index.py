@@ -291,16 +291,14 @@ def dedup_gate(
             F.array(*[F.col(f"mh{i}") for i in range(doc["num_hashes"])])
             .alias("__sig"),
         ))
-        agree = (
-            F.aggregate(
-                F.zip_with(
-                    F.col("a.__sig"), F.col("b.__sig"),
-                    lambda x, y: F.when(x == y, 1).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ) / F.lit(doc["num_hashes"])
-        )
+        # unrolled agreement count (see minhash_lookup) — codegen
+        # instead of interpreted HOFs, identical integer sum
+        acc = F.lit(0)
+        for i in range(doc["num_hashes"]):
+            acc = acc + F.when(
+                F.col("a.__sig")[i] == F.col("b.__sig")[i], 1
+            ).otherwise(0)
+        agree = acc / F.lit(doc["num_hashes"])
         self_dups = (
             pairs
             .join(full.alias("a"), pairs["id_a"] == F.col("a.__sid"))
@@ -404,15 +402,21 @@ def minhash_lookup(
                        bands=doc["bands"]).select(
         F.col(pid).alias("__pid"), "band", "bkt"
     )
-    cand = (
+    discovery = (
         F.broadcast(p_rows).join(idx, ["band", "bkt"])
         .where(F.col("__pid") != F.col("__mid"))
         .select("__pid", "__mid")
-        .distinct()
-        # materialize once: cand feeds BOTH the signature fetch's
-        # semi-join and the output join — without this, each consumer
-        # re-runs the candidate discovery (its own full index scan)
-        .localCheckpoint(eager=True)
+    )
+    # The candidate MATCH-ID set (tiny, O(batch hits)) is materialized
+    # eagerly so the signature fetch can semi-join against it with a
+    # broadcast. r7 localCheckpointed the full (pid, mid) PAIR set here
+    # instead — at sf1.0 that is 24.7M rows written to and read back
+    # from block storage plus a sort-merge join on the way out; the id
+    # set is ~1000x smaller for the same purpose. The pair stream
+    # itself is consumed exactly once now (pipelined into the final
+    # joins), so it never needs materializing.
+    mids = (
+        discovery.select("__mid").distinct().localCheckpoint(eager=True)
     )
     # full signatures, candidates only: probe side from the signature
     # frame, corpus side reassembled from the candidate ids' band rows
@@ -427,27 +431,31 @@ def minhash_lookup(
         # broadcast it — without the hint this semi-join SORT-MERGE
         # shuffles the ENTIRE index per probe, the exact O(corpus)
         # cost the index exists to avoid (caught by the gate plan test)
-        idx.join(F.broadcast(cand.select("__mid").distinct()),
-                 "__mid", "left_semi")
+        idx.join(F.broadcast(mids), "__mid", "left_semi")
         .groupBy("__mid")
         .agg(F.flatten(F.transform(
             F.array_sort(F.collect_list(F.struct("band", "mhs"))),
             lambda s: s["mhs"],
         )).alias("__msig"))
     )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("__psig"), F.col("__msig"),
-                lambda a, b: F.when(a == b, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ) / F.lit(doc["num_hashes"])
-    )
+    # agreement fraction, UNROLLED over the num_hashes positions: the
+    # zip_with/aggregate higher-order form ran interpreted per
+    # candidate pair (24.7M pairs at sf1.0); the flat when-chain
+    # codegens. Same integer sum in the same order → identical values.
+    agree = F.lit(0)
+    for i in range(doc["num_hashes"]):
+        agree = agree + F.when(
+            F.col("__psig")[i] == F.col("__msig")[i], 1
+        ).otherwise(0)
+    est = agree / F.lit(doc["num_hashes"])
     out = (
-        cand.join(F.broadcast(p_sig), "__pid")
-        .join(m_sig, "__mid")
+        # one distinct of the pair stream (its only shuffle), then two
+        # BROADCAST joins: p_sig is batch-sized, m_sig is bounded by the
+        # candidate hit set. r7 planned the m_sig attach as a sort-merge
+        # join that sorted the whole pair set.
+        discovery.distinct()
+        .join(F.broadcast(p_sig), "__pid")
+        .join(F.broadcast(m_sig), "__mid")
         .select(
             F.col("__pid").alias("probe_id"),
             F.col("__mid").alias("match_id"),

@@ -120,8 +120,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature: h_i(doc) = min over tokens of md5(i || '|' ||
     token). Min over lexicographic hex strings — identical in any engine.
-    One explode + one groupBy with num_hashes min() aggregates."""
-    ws = word_set(df, id_col, text_col, delim)
+
+    Physical shape (r8): ONE explode of the per-row DISTINCT token
+    array straight into the groupBy's partial aggregate — the old
+    ``word_set`` route paid a global (id, token) DISTINCT shuffle of
+    every token occurrence before aggregating. Token-level rows now
+    never shuffle at all (the md5 mins collapse map-side to one row per
+    doc) and the input is spread across cores first (the bench corpus
+    is a single row-group file → 2 scan partitions). Values are
+    unchanged: min() is insensitive to duplicate tokens, so per-row
+    ``array_distinct`` + partial agg ≡ global distinct + agg."""
+    from pipelinewise_spark.functions.util import spread_to_cores
+
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), delim))
+    ws = (
+        spread_to_cores(df, id_col)
+        .select(F.col(id_col), F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("w")))).alias(f"mh{i}")
         for i in range(num_hashes)

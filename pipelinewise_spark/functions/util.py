@@ -1,0 +1,19 @@
+"""Small shared physical-plan helpers for the operator library."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_to_cores(df: DataFrame, *cols: str) -> DataFrame:
+    """Widen a narrow scan to the session's core count (hash-partitioned
+    by ``cols`` — deterministic, no keyless-repartition sort). The bench
+    tables are single row-group parquet files that split into 1-2 scan
+    partitions, so every stage before the first exchange runs on 1-2 of
+    the 32 cores; a real multi-file corpus already scans wide and is
+    left alone (only widen, never narrow — scale-adaptive, guide §2).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols)

@@ -978,7 +978,7 @@ def _cos_sql(a: str, b: str) -> str:
 )
 def ann_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return ann.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5, dim=64)
 
 
 def _plane_sql(vec: str, dim: int = 64, planes: int = 6, seed: int = 42) -> str:
@@ -1121,7 +1121,7 @@ def ann_lsh_banded(spark, sf):
 )
 def ann_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_probe=2)
+    return ann.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_probe=2, dim=64)
 
 
 _HEXD = "0123456789abcdef"

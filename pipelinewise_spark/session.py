@@ -60,6 +60,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "32")
+        # HotSpot refuses to JIT-compile methods past 8000 bytecodes
+        # (DontCompileHugeMethods), so a whole-stage-codegen function
+        # bigger than that runs in the BYTECODE INTERPRETER — measured
+        # 4x slower than Spark's own interpreted-expression fallback on
+        # the wide unrolled dot-product/minhash projections (ab bench,
+        # OPTIMIZATION_r08.md). Capping at the JIT limit makes Spark
+        # fall back per-stage exactly when JIT would have bailed.
+        # Host-JVM property, not a local[32] tune.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

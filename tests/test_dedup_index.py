@@ -270,16 +270,20 @@ def test_resave_over_default_layout_doc(spark, tmp_path, corpus):
 
 
 def test_probe_scans_index_at_most_twice(spark, tmp_path, corpus):
-    """The candidate set is materialized once, so a probe's output plan
-    re-reads the index only for the candidates' signature fetch — not
-    once per consumer of the candidate frame."""
+    """A probe's output plan reads the index at most twice — once for
+    the pipelined candidate-pair stream, once for the candidates'
+    signature fetch (a third bounded scan builds the tiny match-id set
+    during the eager localCheckpoint). r8 note: r7 instead
+    localCheckpointed the full candidate PAIR set (24.7M rows at
+    sf1.0); materializing only the id set keeps every per-pair pass
+    pipelined."""
     path = str(tmp_path / "mh")
     dedup_index.save_minhash_index(
         path, corpus, id_col="doc_id", text_col="text", num_buckets=4)
     probes = _corpus(spark, [(100, BASE)])
     plan = dedup_index.minhash_lookup(spark, path, probes) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") <= 1, plan  # +1 during checkpoint
+    assert plan.count("Scan parquet") <= 2, plan  # +1 during checkpoint
 
 
 def test_probe_plan_broadcasts_probe_side(spark, tmp_path, corpus):
@@ -297,10 +301,10 @@ def test_probe_plan_broadcasts_probe_side(spark, tmp_path, corpus):
 def test_gate_plan_never_shuffles_index(spark, tmp_path, corpus):
     """The full admission gate (index probe + intra-batch pass + final
     anti-join) keeps the probe's scale shape: the corpus-sized index
-    parquet appears at most once in the output plan (the candidate
-    discovery scan happened during the eager localCheckpoint), every
-    join against batch-derived frames is a broadcast, and the index
-    side never exchanges. The in-batch self-join operates on the
+    parquet appears at most twice in the output plan (candidate-pair
+    stream + signature fetch; the tiny match-id set was checkpointed),
+    every join against batch-derived frames is a broadcast, and the
+    index side never exchanges. The in-batch self-join operates on the
     checkpointed signature frame only — O(batch), index untouched."""
     path = str(tmp_path / "mh")
     dedup_index.save_minhash_index(
@@ -308,7 +312,7 @@ def test_gate_plan_never_shuffles_index(spark, tmp_path, corpus):
     batch = _corpus(spark, [(100, BASE), (101, BASE + " encore")])
     plan = dedup_index.dedup_gate(spark, path, batch, min_est=0.5) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") <= 1, plan
+    assert plan.count("Scan parquet") <= 2, plan
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere: nothing here should ever need one
     assert "SortMergeJoin" not in plan, plan
