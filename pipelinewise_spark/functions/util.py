@@ -14,6 +14,16 @@ def spread_to_cores(df: DataFrame, *cols: str) -> DataFrame:
     left alone (only widen, never narrow — scale-adaptive, guide §2).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files:
+        # file-backed scan: file count bounds split count for the
+        # single-row-group files this guards against; the probe is pure
+        # metadata (~10ms) where DataFrame.rdd costs ~1s on first use
+        if n_files >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols)

@@ -34,8 +34,23 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table. ``spread=True`` widens the scan across
+    cores first: the testdata files are single row-group parquet
+    (unsplittable below 2 scan partitions), so an expression-heavy
+    query otherwise computes on 2 of the session's cores (r8:
+    text_lang_id at sf1.0 went 4.6s -> sub-second from this alone).
+    Opt-in per query because the exchange COSTS more than it saves for
+    scan/filter/partial-agg-bound queries (measured: s11 0.56 -> 1.3s,
+    stream_windowed_rates 1.9 -> 3.1s with a blanket spread)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        from pipelinewise_spark.functions.util import spread_to_cores
+
+        df = spread_to_cores(df, df.columns[0])
+    return df
 
 
 def _scratch_table_dir(name: str, sf_dir: str) -> str:
@@ -245,7 +260,7 @@ def a3_metrics(spark, sf):
     """,
 )
 def t2_canonical(spark, sf):
-    return _t(spark, sf, "events").select(
+    return _t(spark, sf, "events", spread=True).select(
         "event_id",
         F.concat(
             F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("+00:00")
@@ -512,7 +527,9 @@ _JACCARD_CTE = _WS_CTE + """,
     """,
 )
 def dedup_exact(spark, sf):
-    return dedup_text.exact_dup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+    return dedup_text.exact_dup_groups(
+        _t(spark, sf, "documents", spread=True), "doc_id", "text"
+    )
 
 
 @q(
@@ -776,7 +793,7 @@ _RATIO_SQL = """
     """,
 )
 def text_langid(spark, sf):
-    return _t(spark, sf, "documents").select(
+    return _t(spark, sf, "documents", spread=True).select(
         "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
     )
 
@@ -811,7 +828,7 @@ def text_tokens(spark, sf):
     """,
 )
 def text_quality(spark, sf):
-    return _t(spark, sf, "documents").select(
+    return _t(spark, sf, "documents", spread=True).select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
 
@@ -825,7 +842,7 @@ def text_quality(spark, sf):
     """,
 )
 def doc_fp(spark, sf):
-    return _t(spark, sf, "documents").select(
+    return _t(spark, sf, "documents", spread=True).select(
         "doc_id", T.fingerprint(F.col("text")).alias("fp")
     )
 
@@ -879,7 +896,7 @@ def corpus_export_pipeline(spark, sf):
         shard_assignment,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", spread=True)
     keepq = docs.select(
         "doc_id", "text", T.quality_score(F.col("text")).alias("quality")
     ).where(F.col("quality") >= 0.5)
@@ -941,7 +958,7 @@ def ann_centroids(spark, sf):
 def text_bpeish(spark, sf):
     """BPE-ish pre-tokenizer count: letter runs / digit runs / single
     punctuation — the usual GPT-style pre-tokenization regex shape."""
-    return _t(spark, sf, "documents").select(
+    return _t(spark, sf, "documents", spread=True).select(
         "doc_id",
         F.size(
             F.regexp_extract_all(

@@ -15,8 +15,16 @@ from pipelinewise_spark.queries import QUERIES
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
-def _plan(spark, name: str) -> str:
+def _plan(spark, name: str, execute: bool = False) -> str:
     df = QUERIES[name](spark, SF_DIR)
+    if execute:
+        # force AQE to finalize: a query whose plan now contains an
+        # exchange (r8: opt-in scan spreading) shows only
+        # "AdaptiveSparkPlan isFinalPlan=false" before execution, with
+        # the codegen stage markers hidden until stages materialize.
+        # Must be an action on THIS DataFrame's queryExecution (a
+        # write/noop would plan a fresh one) — sf0.001 rows are tiny.
+        df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -63,7 +71,7 @@ def test_hot_path_stays_in_codegen(spark):
     inside WholeStageCodegen — no Python evaluation nodes."""
     for name in ("t2_canonicalize_ts", "t4_t6_masks_customer",
                  "t7_conditional_mask", "text_lang_id", "s8_lsn_arithmetic"):
-        plan = _plan(spark, name)
+        plan = _plan(spark, name, execute=True)
         # "*(n)" is toString's whole-stage-codegen stage marker
         assert "WholeStageCodegen" in plan or "*(" in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
