@@ -431,12 +431,26 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         def _streams_of(types):
-            return [
-                r["s"] for r in spark.read.text(args.events)
-                .where(F.get_json_object("value", "$.type").isin(*types))
-                .select(F.get_json_object("value", "$.stream").alias("s"))
-                .where(F.col("s").isNotNull()).distinct().collect()
-            ]
+            try:
+                return [
+                    r["s"] for r in spark.read.text(args.events)
+                    .where(F.get_json_object("value", "$.type").isin(*types))
+                    .select(F.get_json_object("value", "$.stream").alias("s"))
+                    .where(F.col("s").isNotNull()).distinct().collect()
+                ]
+            except Exception:
+                # ADVICE r7: an empty/not-yet-populated events dir made
+                # spark.read.text raise a schema-inference traceback —
+                # a stream job launched before the first frame file
+                # lands should get usage guidance, not a crash. (A
+                # continuous tail that must start BEFORE frames exist
+                # needs --stream explicitly; auto-detect requires at
+                # least one frame to read.)
+                p.error(
+                    f"{args.events}: no frame files to auto-detect the "
+                    f"stream from (dir empty or unreadable); pass "
+                    f"--stream explicitly to start before frames land"
+                )
 
         # control-plane first: SCHEMA lines are few and every exporter
         # (ours and the reference taps) emits them before RECORDs — a

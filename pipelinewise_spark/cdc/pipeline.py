@@ -336,6 +336,26 @@ class CdcPipeline:
             q_lsn = int(batch_id)
         except (TypeError, ValueError):
             q_lsn = int(_time.time() * 1_000_000)
+            if batch_id is None:
+                # ADVICE r7: a direct ingest_singer_lines call (no
+                # streaming batch id) re-run over the same lines minted
+                # a fresh wall-clock lsn with no batch-id guard, so the
+                # dead-letter table accumulated duplicates on retry.
+                # The lsn MUST stay monotonic (it is the quarantine
+                # table's bookmark — a content-hash lsn lower than the
+                # bookmark would silently drop NEW dead letters), so
+                # dedup by a content-derived synthetic BATCH ID instead:
+                # same rejected lines → same id → the applied-batch-id
+                # guard folds the replay to a no-op. Two legitimately
+                # identical garbage batches also fold — that is the
+                # dedup semantics the DLQ wants.
+                digest = bad.select(
+                    F.sum(
+                        F.conv(F.substring(F.md5("value"), 1, 14), 16, 10)
+                        .cast("long")
+                    ).alias("h")
+                ).first()["h"]
+                batch_id = f"q-content-{int(digest or 0) % (1 << 62):x}"
         bad = bad.withColumn("lsn", F.lit(q_lsn).cast("long"))
         q_schema = StructType([
             StructField("stream", StringType()),
@@ -583,7 +603,17 @@ class MultiStreamPipeline:
         lines = lines.persist()
         try:
             ctrl = protocol.collect_control_messages(lines)
-            claimer = min(self.pipelines)
+            # Unattributable-garbage claimer: prefer a pipe whose
+            # validate mode is 'quarantine' — a permissive/strict
+            # claimer silently drops (or hard-fails on) lines no stream
+            # can own, defeating the DLQ's "never silently dropped"
+            # contract when per-table validate modes are mixed
+            # (ADVICE r7). Deterministic: min() within each class.
+            quarantining = [
+                s for s, p in self.pipelines.items()
+                if p.validate == "quarantine"
+            ]
+            claimer = min(quarantining) if quarantining else min(self.pipelines)
             return self._fanout(
                 lambda s: self.pipelines[s].ingest_singer_lines(
                     lines, batch_id=batch_id, _ctrl=ctrl,

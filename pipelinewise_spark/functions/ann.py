@@ -19,6 +19,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Unrolled-expression memo: building a 64-term sum costs ~0.4s of py4j
+# round trips PER CALL; the unresolved Column tree is immutable and
+# context-free (resolution happens per plan), so identical (expr, dim)
+# requests reuse one tree. This caches EXPRESSION TREES only — never
+# data or results.
+_UNROLLED_CACHE: dict = {}
+
+
 def dot(a, b, dim: int | None = None):
     """Dot product of two array columns. With ``dim`` the sum is UNROLLED
     into a flat codegen-friendly expression (``a[0]*b[0] + a[1]*b[1] +
@@ -29,10 +37,14 @@ def dot(a, b, dim: int | None = None):
     fold order of ``F.aggregate``, and each element goes through the
     same ``cast("double")`` pair."""
     if dim is not None:
-        s = F.lit(0.0)
-        for i in range(dim):
-            s = s + a[i].cast("double") * b[i].cast("double")
-        return s
+        key = ("dot", str(a), str(b), dim)
+        c = _UNROLLED_CACHE.get(key)
+        if c is None:
+            c = F.lit(0.0)
+            for i in range(dim):
+                c = c + a[i].cast("double") * b[i].cast("double")
+            _UNROLLED_CACHE[key] = c
+        return c
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -44,10 +56,15 @@ def norm(a, dim: int | None = None):
     """L2 norm; ``dim`` unrolls like :func:`dot` (same fold order →
     bit-identical doubles)."""
     if dim is not None:
-        s = F.lit(0.0)
-        for i in range(dim):
-            s = s + a[i].cast("double") * a[i].cast("double")
-        return F.sqrt(s)
+        key = ("norm", str(a), dim)
+        c = _UNROLLED_CACHE.get(key)
+        if c is None:
+            s = F.lit(0.0)
+            for i in range(dim):
+                s = s + a[i].cast("double") * a[i].cast("double")
+            c = F.sqrt(s)
+            _UNROLLED_CACHE[key] = c
+        return c
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")

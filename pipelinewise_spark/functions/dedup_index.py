@@ -220,6 +220,7 @@ def dedup_gate(
     id_col: str | None = None,
     text_col: str | None = None,
     in_batch: bool = True,
+    in_batch_broadcast: bool = True,
 ) -> DataFrame:
     """Ingest-time admission filter — the reason the index exists:
     probe the incoming batch (:func:`minhash_lookup`) and return ONLY
@@ -282,15 +283,24 @@ def dedup_gate(
             lsh_candidate_pairs,
         )
 
+        # ADVICE r7: unlike the probe path (broadcasts bounded by the
+        # hit set), the in-batch broadcasts scale with BATCH size; for
+        # very large ingest batches pass in_batch_broadcast=False to
+        # fall back to shuffle joins instead of risking the broadcast
+        # limit / driver memory. Default stays broadcast: a
+        # checkpointed micro-batch has no stats, and without the hint
+        # Catalyst sort-merge-shuffles the self-join.
         pairs = lsh_candidate_pairs(
             sigs, pid, num_hashes=doc["num_hashes"], bands=doc["bands"],
-            broadcast=True,  # batch-sized, checkpointed (no stats)
+            broadcast=in_batch_broadcast,
         )
-        full = F.broadcast(sigs.select(
+        full = sigs.select(
             F.col(pid).alias("__sid"),
             F.array(*[F.col(f"mh{i}") for i in range(doc["num_hashes"])])
             .alias("__sig"),
-        ))
+        )
+        if in_batch_broadcast:
+            full = F.broadcast(full)
         # unrolled agreement count (see minhash_lookup) — codegen
         # instead of interpreted HOFs, identical integer sum
         acc = F.lit(0)
@@ -319,6 +329,7 @@ def gate_transform(
     id_col: str | None = None,
     text_col: str | None = None,
     op_col: str = "op",
+    lsn_col: str = "lsn",
     in_batch: bool = True,
 ):
     """:func:`dedup_gate` as a ``CdcPipeline(transform=...)`` stage —
@@ -340,7 +351,7 @@ def gate_transform(
     the feed keeps it current from then on."""
     def _gate(df: DataFrame) -> DataFrame:
         try:
-            _load_doc(path, "minhash")
+            doc = _load_doc(path, "minhash")
         except FileNotFoundError:
             raise ValueError(
                 f"gate_transform: no minhash index at {path!r} — "
@@ -350,11 +361,36 @@ def gate_transform(
         is_d = F.col(op_col).eqNullSafe(F.lit("D"))
         deletes = df.where(is_d)
         ups = df.where(~is_d)
-        kept = dedup_gate(
-            df.sparkSession, path, ups,
-            min_est=min_est, id_col=id_col, text_col=text_col,
-            in_batch=in_batch,
-        )
+        pid = id_col or doc["id_col"]
+        if lsn_col in ups.columns:
+            # ADVICE r7: the gate runs BEFORE the merge's latest-per-key
+            # dedup, so a micro-batch carrying two versions of one id
+            # (an older near-dup text, then a novel rewrite) let the
+            # OLD version's text veto the whole id — the novel latest
+            # version was dropped and never re-delivered. Decide
+            # admission on each id's LATEST version only, then let
+            # every row of the admitted ids through (the merge's own
+            # LSN dedup picks the winner). Rows of a rejected id stay
+            # rejected as a unit — an older version must not resurrect
+            # a key whose current text is a duplicate.
+            from pipelinewise_spark.cdc.dedup import latest_per_key
+
+            latest = latest_per_key(ups, [pid], lsn_col=lsn_col)
+            admitted = dedup_gate(
+                df.sparkSession, path, latest,
+                min_est=min_est, id_col=id_col, text_col=text_col,
+                in_batch=in_batch,
+            )
+            kept = ups.join(
+                F.broadcast(admitted.select(pid).distinct()),
+                pid, "left_semi",
+            )
+        else:
+            kept = dedup_gate(
+                df.sparkSession, path, ups,
+                min_est=min_est, id_col=id_col, text_col=text_col,
+                in_batch=in_batch,
+            )
         return kept.unionByName(deletes)
 
     return _gate
