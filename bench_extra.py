@@ -98,11 +98,14 @@ def cdc_rows(spark):
 def main():
     from pipelinewise_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     plans_dir = None
-    if "--plans" in sys.argv:
-        plans_dir = sys.argv[sys.argv.index("--plans") + 1]
+    if "--plans" in argv:
+        i = argv.index("--plans")
+        plans_dir = argv[i + 1]
+        del argv[i:i + 2]
         os.makedirs(plans_dir, exist_ok=True)
+    args = [a for a in argv if not a.startswith("--")]
     repeats = int(os.environ.get("PW_EXTRA_RUNS", "1"))
     spark = get_spark(app_name="pw-bench-extra", master=f"local[{CPUS}]")
     want_cdc = any(a.startswith(("cdc", "multistream")) for a in args)

@@ -429,6 +429,7 @@ def main(argv: list[str] | None = None) -> int:
         if not args.events:
             p.error("--events required for mode=singer")
         from pyspark.sql import functions as F
+        from pyspark.sql.utils import AnalysisException
 
         def _streams_of(types):
             try:
@@ -438,18 +439,21 @@ def main(argv: list[str] | None = None) -> int:
                     .select(F.get_json_object("value", "$.stream").alias("s"))
                     .where(F.col("s").isNotNull()).distinct().collect()
                 ]
-            except Exception:
+            except AnalysisException as exc:
                 # ADVICE r7: an empty/not-yet-populated events dir made
                 # spark.read.text raise a schema-inference traceback —
                 # a stream job launched before the first frame file
-                # lands should get usage guidance, not a crash. (A
+                # lands should get usage guidance, not a crash. Only
+                # AnalysisException (path/schema inference) is
+                # rewritten; runtime failures keep their traceback. (A
                 # continuous tail that must start BEFORE frames exist
                 # needs --stream explicitly; auto-detect requires at
                 # least one frame to read.)
                 p.error(
                     f"{args.events}: no frame files to auto-detect the "
-                    f"stream from (dir empty or unreadable); pass "
-                    f"--stream explicitly to start before frames land"
+                    f"stream from (dir empty or unreadable: {exc}); "
+                    f"pass --stream explicitly to start before frames "
+                    f"land"
                 )
 
         # control-plane first: SCHEMA lines are few and every exporter

@@ -350,12 +350,16 @@ class CdcPipeline:
                 # identical garbage batches also fold — that is the
                 # dedup semantics the DLQ wants.
                 digest = bad.select(
-                    F.sum(
-                        F.conv(F.substring(F.md5("value"), 1, 14), 16, 10)
-                        .cast("long")
-                    ).alias("h")
+                    # order-insensitive AND collision-resistant: md5
+                    # over the SORTED per-line md5s (an additive sum of
+                    # truncated hashes would let two different batches
+                    # collide on one id and silently drop the second
+                    # batch's dead letters)
+                    F.md5(F.concat_ws(",", F.sort_array(
+                        F.collect_list(F.md5("value"))
+                    ))).alias("h")
                 ).first()["h"]
-                batch_id = f"q-content-{int(digest or 0) % (1 << 62):x}"
+                batch_id = f"q-content-{digest}"
         bad = bad.withColumn("lsn", F.lit(q_lsn).cast("long"))
         q_schema = StructType([
             StructField("stream", StringType()),
@@ -592,9 +596,11 @@ class MultiStreamPipeline:
         stream's malformed payload is not this pipe's error). The lines
         frame is persisted once, the control messages are collected ONCE
         (not once per stream — a driver round-trip per pipe per batch),
-        and exactly one pipe (deterministically the lexicographically
-        first) quarantines stream-unattributable garbage lines so they
-        don't land in every stream's dead-letter table. Failure
+        and exactly ONE pipe quarantines stream-unattributable garbage
+        lines so they don't land in every stream's dead-letter table —
+        deterministically the lexicographically-first QUARANTINE-mode
+        pipe (a permissive claimer would silently drop them), falling
+        back to the first pipe when none quarantine. Failure
         semantics match :meth:`apply_batch` (stream-scoped,
         replay-safe)."""
         from pipelinewise_spark.singer import protocol

@@ -20,11 +20,22 @@ from pyspark.sql import functions as F
 
 
 # Unrolled-expression memo: building a 64-term sum costs ~0.4s of py4j
-# round trips PER CALL; the unresolved Column tree is immutable and
-# context-free (resolution happens per plan), so identical (expr, dim)
-# requests reuse one tree. This caches EXPRESSION TREES only — never
-# data or results.
+# round trips PER CALL; a Column tree is immutable (resolution happens
+# per plan), so identical (expr, dim) requests reuse one tree. Keys use
+# the UNDERLYING Catalyst expression's toString — which carries the
+# expression id for dataset-bound columns (``df["v"]`` → ``v#123``), so
+# two different datasets' same-named columns never collide; plain
+# ``F.col("v")`` from any caller keys as the same unresolved name,
+# which resolves per plan as always. Caches EXPRESSION TREES only —
+# never data or results.
 _UNROLLED_CACHE: dict = {}
+
+
+def _expr_key(c) -> str:
+    try:
+        return c._jc.expr().toString()
+    except Exception:
+        return str(c)
 
 
 def dot(a, b, dim: int | None = None):
@@ -35,9 +46,12 @@ def dot(a, b, dim: int | None = None):
     verify joins (OPTIMIZATION_r08.md) and bit-identical: the unrolled
     chain adds left-associated from ``0.0`` in index order, exactly the
     fold order of ``F.aggregate``, and each element goes through the
-    same ``cast("double")`` pair."""
+    same ``cast("double")`` pair. Caveat: a malformed vector SHORTER
+    than ``dim`` yields NULL (out-of-range getItem) where the HOF form
+    scored the truncated prefix — fixed-dim inputs are the contract
+    either way."""
     if dim is not None:
-        key = ("dot", str(a), str(b), dim)
+        key = ("dot", _expr_key(a), _expr_key(b), dim)
         c = _UNROLLED_CACHE.get(key)
         if c is None:
             c = F.lit(0.0)
@@ -56,7 +70,7 @@ def norm(a, dim: int | None = None):
     """L2 norm; ``dim`` unrolls like :func:`dot` (same fold order →
     bit-identical doubles)."""
     if dim is not None:
-        key = ("norm", str(a), dim)
+        key = ("norm", _expr_key(a), dim)
         c = _UNROLLED_CACHE.get(key)
         if c is None:
             s = F.lit(0.0)

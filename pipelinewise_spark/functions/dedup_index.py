@@ -275,7 +275,8 @@ def dedup_gate(
         sigs = sigs.localCheckpoint(eager=True)
     hits = minhash_lookup(
         spark, path, batch_df,
-        id_col=pid, text_col=tcol, min_est=min_est, _doc=doc, _sigs=sigs,
+        id_col=pid, text_col=tcol, min_est=min_est,
+        broadcast_hits=in_batch_broadcast, _doc=doc, _sigs=sigs,
     )
     drop = hits.select(F.col("probe_id").alias(pid))
     if in_batch:
@@ -317,9 +318,10 @@ def dedup_gate(
             .select(F.col("id_b").alias(pid))
         )
         drop = drop.unionByName(self_dups)
-    return batch_df.join(
-        F.broadcast(drop.distinct()), pid, "left_anti",
-    )
+    dropped = drop.distinct()
+    if in_batch_broadcast:
+        dropped = F.broadcast(dropped)
+    return batch_df.join(dropped, pid, "left_anti")
 
 
 def gate_transform(
@@ -404,6 +406,7 @@ def minhash_lookup(
     id_col: str | None = None,
     text_col: str | None = None,
     min_est: float = 0.0,
+    broadcast_hits: bool = True,
     _doc: dict | None = None,
     _sigs: DataFrame | None = None,
 ) -> DataFrame:
@@ -422,7 +425,15 @@ def minhash_lookup(
     so one gate call reads ONE index.json state even if a re-save flips
     it mid-flight; ``_sigs`` likewise lets it pass the batch's already-
     computed signature frame so the batch is signed ONCE per gate
-    call."""
+    call.
+
+    ``broadcast_hits`` (default True) hints the signature-attach joins
+    as broadcasts — right while the hit set is a bounded fraction of
+    the batch. For a pathological batch whose candidates cover a huge
+    slice of the index, pass False to let those two joins shuffle
+    instead of risking the 8 GB broadcast cap / driver memory (the
+    probe-side and match-ID broadcasts stay: they bound the batch and
+    keep the corpus-sized index from ever shuffling)."""
     from pipelinewise_spark.lake.table import LakeTable
 
     doc = _doc or _load_doc(path, "minhash")
@@ -490,8 +501,8 @@ def minhash_lookup(
         # candidate hit set. r7 planned the m_sig attach as a sort-merge
         # join that sorted the whole pair set.
         discovery.distinct()
-        .join(F.broadcast(p_sig), "__pid")
-        .join(F.broadcast(m_sig), "__mid")
+        .join(F.broadcast(p_sig) if broadcast_hits else p_sig, "__pid")
+        .join(F.broadcast(m_sig) if broadcast_hits else m_sig, "__mid")
         .select(
             F.col("__pid").alias("probe_id"),
             F.col("__mid").alias("match_id"),

@@ -18,12 +18,13 @@ def spread_to_cores(df: DataFrame, *cols: str) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files:
-        # file-backed scan: file count bounds split count for the
-        # single-row-group files this guards against; the probe is pure
-        # metadata (~10ms) where DataFrame.rdd costs ~1s on first use
-        if n_files >= target:
-            return df
-    elif df.rdd.getNumPartitions() >= target:
+    # Only FILE-BACKED scans are widened: the file count bounds the
+    # split count for the single-row-group files this guards against,
+    # and the probe is pure metadata (~10ms; DataFrame.rdd costs ~1s on
+    # first use). A non-file frame (streaming micro-batch, in-memory
+    # test frame, checkpoint) is returned untouched — the CDC gate
+    # signs one micro-batch per trigger and must not pay a repartition
+    # exchange + partition probe per batch for typically-small inputs.
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target, *cols)
